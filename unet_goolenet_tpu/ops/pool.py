@@ -1,0 +1,137 @@
+"""Pooling ops (NHWC).
+
+Covers the reference's pooling surface (SURVEY.md §2.3): maxpool 2x2 (UNet DownBlock,
+分割/nets/basicUnet.py:47), 3x3/s2 ceil-mode maxpool (GoogLeNet stem), adaptive
+avg/max pool to 1x1 (CoordAtt3, 分割/nets/basicUnet.py:206-207), and GoogLeNet's
+global average pool.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def _ceil_pad(size: int, k: int, s: int) -> int:
+    """Extra trailing pad so that reduce_window covers a ceil-mode window count."""
+    import math
+
+    out = math.ceil((size - k) / s) + 1
+    needed = (out - 1) * s + k
+    return max(0, needed - size)
+
+
+def max_pool2d(
+    x: jax.Array,
+    window: Union[int, Sequence[int]] = 2,
+    stride: Union[int, Sequence[int], None] = None,
+    *,
+    padding: Union[int, Sequence[Tuple[int, int]]] = 0,
+    ceil_mode: bool = False,
+) -> jax.Array:
+    kh, kw = _pair(window)
+    sh, sw = _pair(stride) if stride is not None else (kh, kw)
+    if isinstance(padding, int):
+        pads = [(padding, padding), (padding, padding)]
+    else:
+        pads = list(padding)
+    if ceil_mode:
+        n, h, w, c = x.shape
+        pads = [
+            (pads[0][0], pads[0][1] + _ceil_pad(h + pads[0][0] + pads[0][1], kh, sh)),
+            (pads[1][0], pads[1][1] + _ceil_pad(w + pads[1][0] + pads[1][1], kw, sw)),
+        ]
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        neg,
+        lax.max,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=[(0, 0), pads[0], pads[1], (0, 0)],
+    )
+
+
+def avg_pool2d(
+    x: jax.Array,
+    window: Union[int, Sequence[int]] = 2,
+    stride: Union[int, Sequence[int], None] = None,
+    *,
+    padding: int = 0,
+    count_include_pad: bool = True,
+) -> jax.Array:
+    kh, kw = _pair(window)
+    sh, sw = _pair(stride) if stride is not None else (kh, kw)
+    pads = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
+    summed = lax.reduce_window(
+        x,
+        jnp.array(0, x.dtype),
+        lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=pads,
+    )
+    if count_include_pad or padding == 0:
+        return summed / (kh * kw)
+    ones = jnp.ones_like(x)
+    counts = lax.reduce_window(
+        ones,
+        jnp.array(0, x.dtype),
+        lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=pads,
+    )
+    return summed / counts
+
+
+def global_avg_pool(x: jax.Array, keepdims: bool = False) -> jax.Array:
+    """Adaptive average pool to 1x1 (reference: nn.AdaptiveAvgPool2d((1,1)))."""
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+def global_max_pool(x: jax.Array, keepdims: bool = False) -> jax.Array:
+    return jnp.max(x, axis=(1, 2), keepdims=keepdims)
+
+
+def adaptive_avg_pool(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """PyTorch-style adaptive average pooling to an arbitrary (oh, ow).
+
+    Used by CoordAtt (分割/nets/basicUnet.py:87-91, pools to (h,1)/(1,w)) and the
+    GoogLeNet aux heads (4x4). Matches torch's semantics: window i spans
+    [floor(i*S/O), ceil((i+1)*S/O)).
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+
+    def pool_axis(arr, size, out, axis):
+        if size == out:
+            return arr
+        if size % out == 0:
+            k = size // out
+            shape = list(arr.shape)
+            shape[axis : axis + 1] = [out, k]
+            return jnp.mean(arr.reshape(shape), axis=axis + 1)
+        # General case: build the (out, size) averaging matrix once (static shapes).
+        import numpy as np
+
+        m = np.zeros((out, size), dtype=np.float32)
+        for i in range(out):
+            s = (i * size) // out
+            e = -(-((i + 1) * size) // out)  # ceil
+            m[i, s:e] = 1.0 / (e - s)
+        mat = jnp.asarray(m, dtype=arr.dtype)
+        moved = jnp.moveaxis(arr, axis, -1)
+        pooled = jnp.einsum("...s,os->...o", moved, mat)
+        return jnp.moveaxis(pooled, -1, axis)
+
+    y = pool_axis(x, h, oh, 1)
+    y = pool_axis(y, w, ow, 2)
+    return y

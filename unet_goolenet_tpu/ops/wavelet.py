@@ -1,0 +1,86 @@
+"""Haar wavelet preprocessing, fully on-device.
+
+Re-implements the reference's `wavelet_enhance` (分类/ROI_main.py:37-83, duplicated in
+分类/test.py:17-63): a single-level Haar DWT turns a grayscale ultrasound image into a
+pseudo-RGB image — R = min-max-normalised gray, G = normalised low-frequency cA
+(resized back to full size), B = normalised high-frequency magnitude
+sqrt(cH^2 + cV^2 + cD^2) (resized back).
+
+TPU-first design: a level-1 Haar DWT on an even-sized image is a non-overlapping 2x2
+block transform, so instead of filter convolutions we lower it to a reshape plus four
+fused element-wise ops — pure VPU work that XLA fuses into the surrounding graph. The
+reference's host round trip through pywt + cv2 disappears entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unet_goolenet_tpu.ops.resize import resize_bilinear
+
+_SQRT2 = 1.4142135623730951
+
+
+def haar_dwt2(x: jax.Array) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
+    """Level-1 2D Haar DWT of a (H, W) image -> (cA, (cH, cV, cD)).
+
+    Matches pywt.wavedec2(x, 'haar', level=1) up to coefficient signs (the reference
+    only ever squares the detail bands, 分类/ROI_main.py:62, so signs are immaterial).
+    Odd dimensions are edge-padded to even (pywt 'symmetric' mode for a length-2
+    filter reduces to edge replication).
+    """
+    h, w = x.shape
+    if h % 2:
+        x = jnp.concatenate([x, x[-1:, :]], axis=0)
+    if w % 2:
+        x = jnp.concatenate([x, x[:, -1:]], axis=1)
+    h2, w2 = x.shape[0] // 2, x.shape[1] // 2
+    blocks = x.reshape(h2, 2, w2, 2)
+    a = blocks[:, 0, :, 0]
+    b = blocks[:, 0, :, 1]
+    c = blocks[:, 1, :, 0]
+    d = blocks[:, 1, :, 1]
+    cA = (a + b + c + d) * 0.5
+    cH = (a + b - c - d) * 0.5  # horizontal detail (vertical difference)
+    cV = (a - b + c - d) * 0.5  # vertical detail (horizontal difference)
+    cD = (a - b - c + d) * 0.5  # diagonal detail
+    return cA, (cH, cV, cD)
+
+
+def _minmax_u8(x: jax.Array, quantize: bool) -> jax.Array:
+    """Min-max normalise to [0, 1]; optionally round through uint8 levels the way the
+    reference does (`(x*255).astype(np.uint8)` then later `/255` in to_tensor)."""
+    lo = jnp.min(x)
+    rng = jnp.max(x) - lo
+    y = jnp.where(rng > 0, (x - lo) / jnp.maximum(rng, 1e-30), jnp.zeros_like(x))
+    if quantize:
+        y = jnp.floor(y * 255.0) / 255.0
+    return y
+
+
+def wavelet_enhance(
+    gray: jax.Array, *, quantize_uint8: bool = True
+) -> jax.Array:
+    """(H, W) grayscale [0, 255] -> (H, W, 3) pseudo-RGB in [0, 1].
+
+    Parity notes vs 分类/ROI_main.py:37-83:
+      * inputs with max <= 1.0 are rescaled by 255 (line 54-55) — caller's job here;
+        we accept [0,255] floats.
+      * cA and the high-freq magnitude are resized back to (H, W) with cv2
+        INTER_LINEAR, i.e. bilinear *without* antialiasing (lines 63, 67).
+      * each channel is min-max normalised and quantised through uint8 (lines 70-74);
+        `quantize_uint8=False` gives the continuous variant for training throughput.
+    """
+    gray = gray.astype(jnp.float32)
+    h, w = gray.shape
+    cA, (cH, cV, cD) = haar_dwt2(gray)
+    high = jnp.sqrt(cH * cH + cV * cV + cD * cD)
+    low_up = resize_bilinear(cA, (h, w), antialias=False)
+    high_up = resize_bilinear(high, (h, w), antialias=False)
+    r = _minmax_u8(gray, quantize_uint8)
+    g = _minmax_u8(low_up, quantize_uint8)
+    b = _minmax_u8(high_up, quantize_uint8)
+    return jnp.stack([r, g, b], axis=-1)
