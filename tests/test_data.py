@@ -1,0 +1,137 @@
+"""Data-layer tests: augmentation semantics, dataset conventions, loader."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from unet_goolenet_tpu.data import (
+    AugmentConfig,
+    Augmenter,
+    SegDataset,
+    ClsDataset,
+    ImageFolderDataset,
+    DataLoader,
+)
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module")
+def busi_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("busi")
+    for split in ("train",):
+        (root / split / "images").mkdir(parents=True)
+        (root / split / "labels").mkdir(parents=True)
+        for i in range(4):
+            grade = (i % 6) + 1
+            name = f"{grade}_img{i}.png"
+            img = (RNG.random((50, 60, 3)) * 255).astype(np.uint8)
+            mask = np.zeros((50, 60), np.uint8)
+            mask[10:30, 15:45] = 255
+            Image.fromarray(img).save(root / split / "images" / name)
+            Image.fromarray(mask).save(root / split / "labels" / name)
+    (root / "cls" / "images").mkdir(parents=True)
+    (root / "cls" / "labels").mkdir(parents=True)
+    lines = []
+    for i in range(4):
+        name = f"{i}.png"
+        g = (RNG.random((50, 60)) * 255).astype(np.uint8)
+        Image.fromarray(g).save(root / "cls" / "images" / name)
+        lines.append(f"{name} {i % 6}")
+    (root / "cls" / "labels" / "label.txt").write_text("\n".join(lines))
+    return str(root)
+
+
+class TestAugmenter:
+    def test_eval_is_resize_only(self):
+        cfg = AugmentConfig.eval(32)
+        aug = Augmenter(cfg, np.random.default_rng(0))
+        img = (RNG.random((64, 64, 3)) * 255).astype(np.uint8)
+        mask = (RNG.random((64, 64)) > 0.5).astype(np.uint8)
+        out_img, out_msk = aug(img, mask)
+        assert out_img.shape == (32, 32, 3) and out_img.dtype == np.float32
+        assert out_msk.shape == (32, 32) and out_msk.dtype == np.int32
+        # deterministic: eval config has no stochastic branch
+        out2, _ = aug(img, mask)
+        np.testing.assert_array_equal(out_img, out2)
+
+    def test_mask_stays_binary_under_geometric_ops(self):
+        cfg = AugmentConfig.seg_train(32)
+        aug = Augmenter(cfg, np.random.default_rng(3))
+        img = (RNG.random((48, 48, 3)) * 255).astype(np.uint8)
+        mask = np.zeros((48, 48), np.uint8)
+        mask[10:30, 10:30] = 1
+        for _ in range(10):
+            _, m = aug(img, mask)
+            assert set(np.unique(m)) <= {0, 1}
+
+    def test_flip_applied_jointly(self):
+        cfg = AugmentConfig(img_size=16, ori_size=16, p_hflip=1.0)
+        aug = Augmenter(cfg, np.random.default_rng(0))
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:, :8] = 255
+        mask = np.zeros((16, 16), np.uint8)
+        mask[:, :8] = 1
+        out_img, out_msk = aug(img, mask)
+        # left-bright becomes right-bright in both
+        assert out_img[:, 12:].mean() > out_img[:, :4].mean()
+        assert out_msk[:, 12:].mean() > out_msk[:, :4].mean()
+
+    def test_grayscale_input_broadcasts(self):
+        aug = Augmenter(AugmentConfig.eval(16))
+        out, _ = aug((RNG.random((20, 20)) * 255).astype(np.uint8), None)
+        assert out.shape == (16, 16, 3)
+
+
+class TestDatasets:
+    def test_seg_dataset_conventions(self, busi_root):
+        ds = SegDataset(os.path.join(busi_root, "train"), img_size=32)
+        item = ds[0]
+        assert item["image"].shape == (32, 32, 3)
+        assert item["se_label"].shape == (32, 32, 1)
+        assert set(np.unique(item["se_label"])) <= {0.0, 1.0}  # //255 applied
+        # filename-encoded grade minus one
+        assert item["cl_label"] == int(ds.names[0][0]) - 1
+
+    def test_cls_dataset_label_txt(self, busi_root):
+        ds = ClsDataset(os.path.join(busi_root, "cls"), img_size=32)
+        item = ds[2]
+        assert item["cl_label"] == 2 % 6
+        assert item["image"].shape == (32, 32, 3)
+        # wavelet pseudo-RGB: channels differ (not a gray triplicate)
+        img = item["image"]
+        assert np.abs(img[..., 0] - img[..., 2]).max() > 1e-3
+
+    def test_image_folder_sorted(self, busi_root):
+        ds = ImageFolderDataset(os.path.join(busi_root, "cls", "images"),
+                                img_size=32, wavelet=True)
+        assert ds.names == sorted(ds.names)
+        assert ds[0]["image"].shape == (32, 32, 3)
+
+
+class TestLoader:
+    def test_batching_and_order(self, busi_root):
+        ds = SegDataset(os.path.join(busi_root, "train"), img_size=32)
+        loader = DataLoader(ds, batch_size=3, num_workers=2)
+        batches = list(loader)
+        assert [b["image"].shape[0] for b in batches] == [3, 1]
+        # non-shuffled loader preserves dataset order
+        assert batches[0]["name"][0] == ds.names[0]
+
+    def test_shuffle_reproducible_per_epoch(self, busi_root):
+        ds = SegDataset(os.path.join(busi_root, "train"), img_size=32)
+        l1 = DataLoader(ds, batch_size=4, shuffle=True, seed=7)
+        l2 = DataLoader(ds, batch_size=4, shuffle=True, seed=7)
+        n1 = [b["name"] for b in l1][0]
+        n2 = [b["name"] for b in l2][0]
+        assert n1 == n2
+        # second epoch differs
+        n1b = [b["name"] for b in l1][0]
+        assert n1 != n1b
+
+    def test_drop_last(self, busi_root):
+        ds = SegDataset(os.path.join(busi_root, "train"), img_size=32)
+        loader = DataLoader(ds, batch_size=3, drop_last=True)
+        assert len(list(loader)) == 1

@@ -1,0 +1,83 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unet_goolenet_tpu.models import UNetTaskAligWeight
+from unet_goolenet_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_sharded_seg_train_step,
+)
+from unet_goolenet_tpu.train import optim
+from unet_goolenet_tpu.train.seg import init_seg_state, make_seg_train_step
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests require the 8-device virtual CPU mesh"
+    return make_mesh()
+
+
+class TestMesh:
+    def test_mesh_shape(self, mesh):
+        assert mesh.devices.shape == (8, 1)
+        assert mesh.axis_names == ("data", "model")
+
+    def test_shard_and_replicate_placement(self, mesh):
+        batch = {"x": jnp.zeros((16, 8, 8, 3)), "y": jnp.zeros((16,))}
+        sharded = shard_batch(mesh, batch)
+        assert len(sharded["x"].sharding.device_set) == 8
+        rep = replicate(mesh, {"w": jnp.zeros((4, 4))})
+        assert rep["w"].sharding.is_fully_replicated
+
+
+class TestShardedTraining:
+    def test_dp_step_matches_single_device(self, mesh):
+        """Data-parallel step over 8 shards must equal the single-device step on the
+        same global batch (XLA reduces BN moments and grads globally)."""
+        model = UNetTaskAligWeight(n_classes=1)
+        tx = optim.make_adamw(1e-4)
+        state = init_seg_state(model, tx, KEY, input_shape=(1, 16, 16, 3))
+
+        imgs = jax.random.uniform(KEY, (8, 16, 16, 3))
+        labels = (jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 1)) > 0.5).astype(jnp.float32)
+
+        ref_step = jax.jit(make_seg_train_step(model, tx))
+        ref_state, ref_metrics = ref_step(state, imgs, labels)
+
+        state_r = replicate(mesh, state)
+        sharded = shard_batch(mesh, {"imgs": imgs, "labels": labels})
+        dp_step = make_sharded_seg_train_step(model, tx, mesh)
+        dp_state, dp_metrics = dp_step(state_r, sharded["imgs"], sharded["labels"])
+
+        # f32 cross-device reductions reassociate; equality is to reduction noise
+        np.testing.assert_allclose(
+            float(ref_metrics["loss"]), float(dp_metrics["loss"]), rtol=1e-3)
+        a = jax.tree_util.tree_leaves(ref_state.params)[0]
+        b = jax.tree_util.tree_leaves(dp_state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    def test_sharded_pipeline_runs(self, mesh):
+        from unet_goolenet_tpu.models import GoogLeNetClassifier
+        from unet_goolenet_tpu.pipeline import TwoStagePipeline
+        from unet_goolenet_tpu.parallel import make_sharded_pipeline
+
+        S = 32
+        unet = UNetTaskAligWeight(n_classes=1)
+        gnet = GoogLeNetClassifier(num_classes=6)
+        uv = unet.init({"params": KEY}, jnp.zeros((1, S, S, 3)), train=False)
+        gv = gnet.init({"params": KEY, "dropout": KEY},
+                       jnp.zeros((1, S, S, 3)), train=False)
+        pipe = TwoStagePipeline(unet, replicate(mesh, uv), gnet,
+                                replicate(mesh, gv), img_size=S)
+        run = make_sharded_pipeline(pipe, mesh)
+        gray = shard_batch(mesh, jax.random.uniform(KEY, (16, 40, 40)) * 255)
+        out = run(gray)
+        assert out["grades"].shape == (16,)
+        assert len(out["grades"].sharding.device_set) == 8

@@ -1,0 +1,161 @@
+"""Train-step tests: refinement semantics, optimizer/scheduler behaviour,
+checkpoint round trips. Uses a small UNet input size to keep CPU compiles fast."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unet_goolenet_tpu.models import UNetTaskAligWeight, GoogLeNetClassifier
+from unet_goolenet_tpu.train import optim
+from unet_goolenet_tpu.train.seg import (
+    init_seg_state,
+    make_seg_train_step,
+    make_seg_eval_step,
+)
+from unet_goolenet_tpu.train.cls import (
+    init_cls_state,
+    make_cls_train_step,
+    make_cls_eval_step,
+)
+
+KEY = jax.random.PRNGKey(0)
+SHAPE = (2, 32, 32, 3)
+
+
+def small_seg_setup():
+    model = UNetTaskAligWeight(n_classes=1)
+    tx = optim.make_adamw(1e-4)
+    state = init_seg_state(model, tx, KEY, input_shape=(1, 32, 32, 3))
+    return model, tx, state
+
+
+class TestSegTraining:
+    def test_two_updates_per_batch_and_loss_decreases(self):
+        model, tx, state = small_seg_setup()
+        step = jax.jit(make_seg_train_step(model, tx))
+        imgs = jax.random.uniform(KEY, SHAPE)
+        labels = (jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1)) > 0.7).astype(jnp.float32)
+
+        p_before = state.params
+        losses = []
+        for _ in range(4):
+            state, metrics = step(state, imgs, labels)
+            losses.append(float(metrics["loss"]))
+        # params moved
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), p_before, state.params)
+        assert max(jax.tree_util.tree_leaves(moved)) > 0
+        # overfitting two fixed images must reduce loss
+        assert losses[-1] < losses[0]
+
+    def test_refinement_differs_from_single_pass(self):
+        model, tx, state = small_seg_setup()
+        step2 = jax.jit(make_seg_train_step(model, tx, n_refine=2))
+        step1 = jax.jit(make_seg_train_step(model, tx, n_refine=1))
+        imgs = jax.random.uniform(KEY, SHAPE)
+        labels = jnp.zeros((2, 32, 32, 1))
+        s2, _ = step2(state, imgs, labels)
+        s1, _ = step1(state, imgs, labels)
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
+        assert max(jax.tree_util.tree_leaves(d)) > 0
+
+    def test_eval_step_threshold(self):
+        model, tx, state = small_seg_setup()
+        ev = jax.jit(make_seg_eval_step(model))
+        imgs = jax.random.uniform(KEY, SHAPE)
+        labels = jnp.zeros((2, 32, 32, 1))
+        loss, masks = ev(state, imgs, labels)
+        assert masks.shape == (2, 32, 32, 1)
+        assert set(np.unique(np.asarray(masks))) <= {0.0, 1.0}
+        assert np.isfinite(float(loss))
+
+
+class TestClsTraining:
+    def test_step_runs_and_learns(self):
+        model = GoogLeNetClassifier(num_classes=6)
+        tx = optim.make_adamw(1e-3)
+        state = init_cls_state(model, tx, KEY, input_shape=(1, 64, 64, 3))
+        step = jax.jit(make_cls_train_step(model, tx))
+        imgs = jax.random.uniform(KEY, (4, 64, 64, 3))
+        labels = jnp.asarray([0, 1, 2, 3])
+        se_out = jax.random.normal(KEY, (4, 64, 64, 1)) * 3
+        rng = jax.random.PRNGKey(42)
+        losses = []
+        for i in range(5):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, imgs, labels, se_out, sub)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_eval_step(self):
+        model = GoogLeNetClassifier(num_classes=6)
+        tx = optim.make_adamw(1e-4)
+        state = init_cls_state(model, tx, KEY, input_shape=(1, 64, 64, 3))
+        ev = jax.jit(make_cls_eval_step(model))
+        loss, logits = ev(state, jax.random.uniform(KEY, (2, 64, 64, 3)),
+                          jnp.asarray([0, 5]))
+        assert logits.shape == (2, 6) and np.isfinite(float(loss))
+
+
+class TestPlateauScheduler:
+    def test_matches_torch_semantics(self):
+        s = optim.plateau_init(1e-4)
+        # 1 good epoch then 11 bad ones -> reduce by 0.1
+        s = optim.plateau_step(s, jnp.float32(1.0))
+        for _ in range(11):
+            s = optim.plateau_step(s, jnp.float32(1.0))  # not better than best-thr
+        assert abs(float(s.lr) - 1e-5) < 1e-12
+        # floor at min_lr
+        for _ in range(12):
+            s = optim.plateau_step(s, jnp.float32(1.0))
+        assert float(s.lr) >= 1e-5 - 1e-12
+
+    def test_abs_threshold(self):
+        s = optim.plateau_init(1e-4)
+        s = optim.plateau_step(s, jnp.float32(1.0))
+        # improvement smaller than threshold does NOT reset the counter
+        s2 = optim.plateau_step(s, jnp.float32(1.0 - 0.0005))
+        assert int(s2.num_bad) == int(s.num_bad) + 1
+        # improvement beyond threshold resets
+        s3 = optim.plateau_step(s, jnp.float32(1.0 - 0.01))
+        assert int(s3.num_bad) == 0
+
+    def test_lr_injection(self):
+        model, tx, state = small_seg_setup()
+        optim.set_learning_rate(state.opt_state, 5e-5)
+        assert abs(float(state.opt_state.hyperparams["learning_rate"]) - 5e-5) < 1e-9
+
+
+class TestEarlyStopper:
+    def test_patience_extension_quirk(self):
+        es = optim.EarlyStopper(patience=3, lr_threshold=1e-4, extension=2)
+        assert not es.update(1.0, 1e-4)
+        for _ in range(3):
+            assert not es.update(2.0, 1e-4)
+        # counter=4 > patience, but lr >= threshold -> extension, no stop
+        assert not es.update(2.0, 1e-4)
+        assert es.counter == 2  # 4 - extension
+        # now with decayed lr it stops once counter exceeds patience again
+        assert not es.update(2.0, 1e-5)
+        assert es.update(2.0, 1e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_best_retention(self, tmp_path):
+        from unet_goolenet_tpu.train.checkpoint import CheckpointManager
+
+        model, tx, state = small_seg_setup()
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), periodic_every=2)
+        p1 = mgr.save_best_loss(state, epoch=0)
+        p2 = mgr.save_best_loss(state, epoch=3)
+        import os
+        assert not os.path.exists(p1) and os.path.exists(p2)
+        assert mgr.save_periodic(state, 4) is not None
+        assert mgr.save_periodic(state, 5) is None
+
+        restored, epoch = mgr.restore(p2, state)
+        assert epoch == 3
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

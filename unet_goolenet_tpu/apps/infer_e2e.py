@@ -1,0 +1,94 @@
+"""End-to-end two-stage inference CLI (reference: 分类/test.py).
+
+Output parity: `<out>/result.txt` with "name grade" lines, sorted numerically by
+filename stem (test.py:90-96). The compute path is the fused on-device pipeline —
+wavelet -> resize -> UNet -> bbox -> crop -> GoogLeNet in one XLA graph per batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unet_goolenet_tpu.data import ImageFolderDataset, DataLoader
+from unet_goolenet_tpu.models import UNetTaskAligWeight, GoogLeNetClassifier
+from unet_goolenet_tpu.pipeline import TwoStagePipeline
+from unet_goolenet_tpu.train import optim
+from unet_goolenet_tpu.train.checkpoint import CheckpointManager
+from unet_goolenet_tpu.train.cls import init_cls_state
+from unet_goolenet_tpu.train.seg import init_seg_state
+from unet_goolenet_tpu.utils import seed_everything
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Two-stage segment->crop->classify")
+    p.add_argument("--image-dir", required=True)
+    p.add_argument("--unet-checkpoint", required=True)
+    p.add_argument("--gnet-checkpoint", required=True)
+    p.add_argument("--out-dir", default="test_results")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--num-classes", type=int, default=6)
+    p.add_argument("--bf16", action="store_true", help="bf16 streaming inference")
+    return p.parse_args(argv)
+
+
+def numeric_stem(name: str) -> int:
+    stem = name.replace(".jpg", "").replace(".png", "")
+    try:
+        return int(stem)
+    except ValueError:
+        return 0
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    key = seed_everything()
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    unet = UNetTaskAligWeight(n_classes=1, dtype=dtype)
+    gnet = GoogLeNetClassifier(num_classes=args.num_classes, dtype=dtype)
+
+    seg_state = init_seg_state(unet, optim.make_adamw(), key,
+                               input_shape=(1, args.img_size, args.img_size, 3))
+    seg_state, _ = CheckpointManager(".").restore(args.unet_checkpoint, seg_state)
+    cls_state = init_cls_state(gnet, optim.make_adamw(), key,
+                               input_shape=(1, args.img_size, args.img_size, 3))
+    cls_state, _ = CheckpointManager(".").restore(args.gnet_checkpoint, cls_state)
+
+    pipe = TwoStagePipeline(
+        unet, {"params": seg_state.params, "batch_stats": seg_state.batch_stats},
+        gnet, {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
+        img_size=args.img_size, dtype=dtype)
+
+    ds = ImageFolderDataset(args.image_dir, img_size=args.img_size, wavelet=True)
+    loader = DataLoader(ds, args.batch_size)
+
+    records = []
+    t0 = time.time()
+    n = 0
+    for batch in loader:
+        out = pipe.infer_from_rgb(jnp.asarray(batch["image"]))
+        grades = np.asarray(out["grades"])
+        n += len(grades)
+        for name, grade in zip(batch["name"], grades):
+            stem = name.replace(".png", "")
+            records.append(f"{stem} {int(grade)}")
+    dt = time.time() - t0
+
+    records.sort(key=lambda r: numeric_stem(r.split()[0]))
+    out_path = os.path.join(args.out_dir, "result.txt")
+    with open(out_path, "w") as f:
+        f.write("\n".join(records) + ("\n" if records else ""))
+    print(f"wrote {len(records)} predictions to {out_path} "
+          f"({n / dt:.2f} images/sec incl. host IO)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Stage-2 GoogLeNet training CLI (reference: 分类/ROI_main.py).
+
+Architecture difference from the reference (the TPU win): the reference runs the
+frozen UNet *inside Dataset.__getitem__* one image at a time on the GPU, forcing
+num_workers=0 (ROI_main.py:290-291). Here the loader yields batches of wavelet
+pseudo-RGB images and ONE jitted graph does frozen-UNet -> mask -> bbox -> crop for
+the whole batch on device; the GoogLeNet train step (with the refinement feedback
+from the full-image seg logits, ROI_main.py:209-226) consumes the crops directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unet_goolenet_tpu.data import ClsDataset, DataLoader
+from unet_goolenet_tpu.eval import ClsMetrics
+from unet_goolenet_tpu.models import UNetTaskAligWeight, GoogLeNetClassifier
+from unet_goolenet_tpu.pipeline.two_stage import segment, extract_roi
+from unet_goolenet_tpu.train import optim
+from unet_goolenet_tpu.train.checkpoint import CheckpointManager
+from unet_goolenet_tpu.train.cls import (
+    init_cls_state,
+    make_cls_train_step,
+    make_cls_eval_step,
+)
+from unet_goolenet_tpu.train.seg import init_seg_state
+from unet_goolenet_tpu.utils import seed_everything, MetricLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train the stage-2 GoogLeNet grader")
+    p.add_argument("--train-dir", required=True)
+    p.add_argument("--val-dir", required=True)
+    p.add_argument("--unet-checkpoint", required=True,
+                   help="frozen stage-1 checkpoint used for ROI extraction")
+    p.add_argument("--epochs", type=int, default=250)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--save-dir", default="checkpoint/cls")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--warm-start", default=None)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--num-classes", type=int, default=6)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    key = seed_everything(args.seed)
+    logger = MetricLogger(args.log_dir, "train_cls")
+
+    rng_np = np.random.default_rng(args.seed)
+    train_ds = ClsDataset(args.train_dir, img_size=args.img_size, train=True, rng=rng_np)
+    val_ds = ClsDataset(args.val_dir, img_size=args.img_size, train=False)
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+    val_loader = DataLoader(val_ds, args.batch_size)
+
+    # frozen stage-1 model
+    unet = UNetTaskAligWeight(n_classes=1)
+    seg_tx = optim.make_adamw()
+    seg_state = init_seg_state(unet, seg_tx, key,
+                               input_shape=(1, args.img_size, args.img_size, 3))
+    seg_mgr = CheckpointManager(".")
+    seg_state, _ = seg_mgr.restore(args.unet_checkpoint, seg_state)
+    unet_vars = {"params": seg_state.params, "batch_stats": seg_state.batch_stats}
+
+    @jax.jit
+    def extract(imgs):
+        """batched frozen-UNet -> masks -> (crops, full-image logits)."""
+        logits, masks = segment(unet, unet_vars, imgs)
+        crops, _ = extract_roi(imgs, masks,
+                               out_hw=(args.img_size, args.img_size))
+        return crops, logits
+
+    model = GoogLeNetClassifier(num_classes=args.num_classes)
+    tx = optim.make_adamw(args.lr)
+    state = init_cls_state(model, tx, key,
+                           input_shape=(1, args.img_size, args.img_size, 3))
+    mgr = CheckpointManager(args.save_dir, periodic_every=10)
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = mgr.restore(args.resume, state)
+    elif args.warm_start:
+        state, _ = mgr.restore(args.warm_start, state)
+
+    train_step = jax.jit(make_cls_train_step(model, tx), donate_argnums=0)
+    eval_step = jax.jit(make_cls_eval_step(model))
+
+    plateau = optim.plateau_init(args.lr)
+    stopper = optim.EarlyStopper(patience=300, lr_threshold=args.lr, extension=20)
+    best_val_loss = float("inf")
+    best_acc = 0.0
+    rng = jax.random.PRNGKey(args.seed)
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        optim.set_learning_rate(state.opt_state, plateau.lr)
+        train_losses = []
+        for batch in train_loader:
+            imgs = jnp.asarray(batch["image"])
+            crops, se_out = extract(imgs)
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(
+                state, crops, jnp.asarray(batch["cl_label"]), se_out, sub)
+            train_losses.append(metrics["loss"])
+        train_loss = float(jnp.mean(jnp.stack(train_losses)))
+
+        cls_metrics = ClsMetrics(num_classes=args.num_classes)
+        val_losses = []
+        for batch in val_loader:
+            crops, _ = extract(jnp.asarray(batch["image"]))
+            loss, logits = eval_step(state, crops, jnp.asarray(batch["cl_label"]))
+            val_losses.append(float(loss))
+            cls_metrics.update(logits, batch["cl_label"])
+        val_loss = float(np.mean(val_losses))
+        scores = cls_metrics.aggregate()
+
+        plateau = optim.plateau_step(plateau, jnp.float32(train_loss))
+        logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
+                   f1=scores["f1"], acc=scores["accuracy"], auroc=scores["auroc"],
+                   lr=float(plateau.lr), secs=time.time() - t0)
+
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            mgr.save_best_loss(state, epoch)
+        if scores["accuracy"] > best_acc:
+            best_acc = scores["accuracy"]
+            mgr.save_best_metric(state, epoch, tag="acc")
+        mgr.save_periodic(state, epoch)
+        if stopper.update(val_loss, float(plateau.lr)):
+            print(f"early stop at epoch {epoch}", flush=True)
+            break
+    print(f"done: best_val_loss={best_val_loss:.4f} best_acc={best_acc:.4f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

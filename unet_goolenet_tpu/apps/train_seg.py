@@ -1,0 +1,133 @@
+"""Stage-1 UNet training CLI (reference: 分割/main.py).
+
+Example:
+    python -m unet_goolenet_tpu.apps.train_seg \
+        --train-dir BUSI_1/train --val-dir BUSI_1/val \
+        --epochs 250 --batch-size 4 --img-size 224 --save-dir checkpoint/seg
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unet_goolenet_tpu.data import SegDataset, DataLoader
+from unet_goolenet_tpu.eval import SegMetrics
+from unet_goolenet_tpu.models import UNetTaskAligWeight
+from unet_goolenet_tpu.parallel import make_mesh, replicate, shard_batch, \
+    make_sharded_seg_train_step
+from unet_goolenet_tpu.train import optim
+from unet_goolenet_tpu.train.checkpoint import CheckpointManager
+from unet_goolenet_tpu.train.seg import (
+    init_seg_state,
+    make_seg_train_step,
+    make_seg_eval_step,
+)
+from unet_goolenet_tpu.utils import seed_everything, MetricLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train the stage-1 segmentation UNet")
+    p.add_argument("--train-dir", required=True)
+    p.add_argument("--val-dir", required=True)
+    p.add_argument("--epochs", type=int, default=250)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--save-dir", default="checkpoint/seg")
+    p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p.add_argument("--warm-start", default=None, help="checkpoint to load weights from")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all devices")
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--hausdorff", action="store_true",
+                   help="compute the (host-side) Hausdorff val metric")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    key = seed_everything(args.seed)
+    logger = MetricLogger(args.log_dir, "train_seg")
+
+    rng_np = np.random.default_rng(args.seed)
+    train_ds = SegDataset(args.train_dir, img_size=args.img_size, train=True, rng=rng_np)
+    val_ds = SegDataset(args.val_dir, img_size=args.img_size, train=False)
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+                              drop_last=args.data_parallel, seed=args.seed)
+    val_loader = DataLoader(val_ds, args.batch_size)
+
+    model = UNetTaskAligWeight(n_classes=1)
+    tx = optim.make_adamw(args.lr)
+    state = init_seg_state(model, tx, key,
+                           input_shape=(1, args.img_size, args.img_size, 3))
+    mgr = CheckpointManager(args.save_dir)
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = mgr.restore(args.resume, state)
+        print(f"resumed from {args.resume} at epoch {start_epoch}", flush=True)
+    elif args.warm_start:
+        state, _ = mgr.restore(args.warm_start, state)
+        print(f"warm start from {args.warm_start}", flush=True)
+
+    if args.data_parallel and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        state = replicate(mesh, state)
+        train_step = make_sharded_seg_train_step(model, tx, mesh)
+        put = lambda b: shard_batch(mesh, b)
+    else:
+        train_step = jax.jit(make_seg_train_step(model, tx), donate_argnums=0)
+        put = lambda b: b
+    eval_step = jax.jit(make_seg_eval_step(model))
+
+    plateau = optim.plateau_init(args.lr)
+    stopper = optim.EarlyStopper(patience=50, lr_threshold=args.lr, extension=20)
+    best_val_loss = float("inf")
+    best_dice = 0.0
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        optim.set_learning_rate(state.opt_state, plateau.lr)
+        train_losses = []
+        for batch in train_loader:
+            b = put({"imgs": batch["image"], "labels": batch["se_label"]})
+            state, metrics = train_step(state, b["imgs"], b["labels"])
+            train_losses.append(metrics["loss"])
+        train_loss = float(jnp.mean(jnp.stack(train_losses)))
+
+        seg_metrics = SegMetrics(empty_pred_hack=True,
+                                 compute_hausdorff=args.hausdorff)
+        val_losses = []
+        for batch in val_loader:
+            loss, masks = eval_step(state, jnp.asarray(batch["image"]),
+                                    jnp.asarray(batch["se_label"]))
+            val_losses.append(float(loss))
+            seg_metrics.update(masks, batch["se_label"])
+        val_loss = float(np.mean(val_losses))
+        scores = seg_metrics.aggregate()
+
+        plateau = optim.plateau_step(plateau, jnp.float32(train_loss))
+        logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
+                   lr=float(plateau.lr), secs=time.time() - t0, **{
+                       k: v for k, v in scores.items() if not np.isnan(v)})
+
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            mgr.save_best_loss(state, epoch)
+        if scores["dice"] > best_dice:
+            best_dice = scores["dice"]
+            mgr.save_best_metric(state, epoch, tag="seg")
+        if stopper.update(val_loss, float(plateau.lr)):
+            print(f"early stop at epoch {epoch}", flush=True)
+            break
+    print(f"done: best_val_loss={best_val_loss:.4f} best_dice={best_dice:.4f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,8 @@ def max_pool2d(
             (pads[0][0], pads[0][1] + _ceil_pad(h + pads[0][0] + pads[0][1], kh, sh)),
             (pads[1][0], pads[1][1] + _ceil_pad(w + pads[1][0] + pads[1][1], kw, sw)),
         ]
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so JAX recognises the differentiable reduce-window-max
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg,

@@ -1,0 +1,97 @@
+"""Device-mesh parallelism (the layer the reference never had — SURVEY.md §2: no
+DP/TP/PP anywhere; the `--n_gpu` flag is parsed and never read).
+
+Design (scaling-book recipe): pick a mesh, annotate shardings, let XLA insert the
+collectives.
+
+  * mesh axes ('data', 'model'): batch dimension sharded over 'data';
+    'model' reserved for tensor-parallel sharding of the transformer bottleneck
+    (heads divide over 'model') — at these model sizes DP is the win, so the
+    default mesh is (n_devices, 1).
+  * parameters are replicated; gradients are reduced by XLA-emitted psums from the
+    sharded-batch jit — no hand-written collectives.
+  * inference shards the image batch the same way (streaming config 5 of
+    BASELINE.json: bf16 two-stage, data-parallel over v5e-8).
+
+Everything uses plain jax.jit with NamedSharding in/out specs (pjit is jit now).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Place a host batch pytree with the leading axis sharded over 'data'."""
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (params/opt state) across the whole mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def _batch_spec(mesh: Mesh):
+    return NamedSharding(mesh, P("data"))
+
+
+def make_sharded_seg_train_step(model, tx, mesh: Mesh, *, loss_fn=None, n_refine=2):
+    """Data-parallel version of train.seg.make_seg_train_step: batch sharded over
+    'data', state replicated; XLA inserts the gradient all-reduce.
+
+    NOTE on BatchNorm: each shard computes batch statistics from its local batch
+    inside the jitted graph; XLA's SPMD partitioner reduces the moments globally
+    because the batch axis is a sharded dimension of one program — semantics equal
+    to single-device training on the full batch (unlike torch DDP's per-replica BN).
+    """
+    from unet_goolenet_tpu.train.seg import make_seg_train_step
+    from unet_goolenet_tpu.train.losses import dc_and_bce_loss
+
+    step = make_seg_train_step(
+        model, tx, loss_fn=loss_fn or dc_and_bce_loss, n_refine=n_refine
+    )
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(rep, data, data),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_pipeline(pipeline, mesh: Mesh):
+    """Shard the fused two-stage inference over 'data': returns a callable
+    (gray (N,H,W)) -> outputs, with N divided across the mesh."""
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    fn = jax.jit(
+        pipeline._e2e.__wrapped__,
+        in_shardings=(rep, rep, data),
+        out_shardings=data,
+    )
+
+    def run(gray):
+        return fn(pipeline.unet_vars, pipeline.gnet_vars, gray)
+
+    return run

@@ -1,0 +1,145 @@
+"""The fused segment -> crop -> classify pipeline (the BASELINE.json north star).
+
+The reference's end-to-end path (分类/test.py:122-134 + 分类/util/roi.py:12-51)
+crosses host<->device 4+ times per image: wavelet+resize on host, UNet on device,
+mask back to host, bbox+crop on host, crop back to device for GoogLeNet. Here the
+entire path is ONE jitted XLA graph:
+
+    gray (N,H,W) --wavelet_enhance--> pseudo-RGB --resize 224--> UNet -->
+    sigmoid>0.5 --> bbox(+pad 30, centre fallback) --> crop-and-resize 224 -->
+    R/B channel swap (the reference's BGR2RGB, roi.py:44) --> GoogLeNet --> grades
+
+Zero host round trips; bf16 variants for streaming throughput.
+
+Semantics notes:
+  * the reference runs `wavelet_enhance` at the original resolution and then
+    PIL-resizes to 224 (test.py:128-130); `preprocess_gray` mirrors that order.
+  * stage-2 crops are taken from the SAME 224 pseudo-RGB tensor the UNet saw
+    (roi.py:39), then channel-swapped — so the classifier sees (B, G, R) of the
+    wavelet image. Quirk preserved.
+  * empty masks fall back to a centre crop (roi.py:26-31).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unet_goolenet_tpu import ops
+
+
+def preprocess_gray(
+    gray: jax.Array, *, out_hw: Tuple[int, int] = (224, 224),
+    quantize_uint8: bool = True,
+) -> jax.Array:
+    """(N, H, W) raw grayscale [0,255] -> (N, oh, ow, 3) wavelet pseudo-RGB in [0,1].
+
+    wavelet at native resolution, then PIL-semantics (antialiased) bilinear resize —
+    the order and kernels of 分类/test.py:127-130."""
+    enhanced = jax.vmap(partial(ops.wavelet_enhance, quantize_uint8=quantize_uint8))(
+        gray
+    )
+    return ops.resize_bilinear(enhanced, out_hw, antialias=True)
+
+
+def segment(unet, unet_vars, imgs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """UNet forward + threshold: returns (logits (N,H,W,1), masks (N,H,W))."""
+    logits = unet.apply(unet_vars, imgs, train=False)
+    masks = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+    return logits, masks
+
+
+def extract_roi(
+    imgs: jax.Array, masks: jax.Array, *, padding: int = 30,
+    out_hw: Tuple[int, int] = (224, 224), swap_rb: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched mask->bbox->crop with the reference's R/B swap. Returns
+    (crops (N,oh,ow,3), boxes (N,4))."""
+    crops, boxes = jax.vmap(
+        lambda i, m: ops.roi_from_mask(i, m, padding=padding, out_hw=out_hw)
+    )(imgs, masks)
+    if swap_rb:
+        crops = crops[..., ::-1]
+    return crops, boxes
+
+
+class TwoStagePipeline:
+    """Bundles the two models into fused, jitted inference callables.
+
+    Typical use:
+        pipe = TwoStagePipeline(unet, unet_vars, gnet, gnet_vars)
+        grades, masks, boxes = pipe.infer_from_gray(gray_batch)   # e2e, one jit
+        masks = pipe.infer_masks(rgb_batch)                       # stage 1 only
+    """
+
+    def __init__(self, unet, unet_vars, gnet, gnet_vars, *, img_size: int = 224,
+                 padding: int = 30, dtype=jnp.float32):
+        self.unet = unet
+        self.gnet = gnet
+        self.unet_vars = unet_vars
+        self.gnet_vars = gnet_vars
+        self.img_size = img_size
+        self.padding = padding
+        self.dtype = dtype
+
+        hw = (img_size, img_size)
+
+        def _e2e(unet_vars, gnet_vars, gray):
+            imgs = preprocess_gray(gray, out_hw=hw).astype(dtype)
+            logits, masks = segment(self.unet, unet_vars, imgs)
+            crops, boxes = extract_roi(imgs, masks, padding=padding, out_hw=hw)
+            cls_logits = self.gnet.apply(gnet_vars, crops, train=False)
+            grades = jnp.argmax(cls_logits, axis=-1)
+            return {
+                "grades": grades,
+                "cls_logits": cls_logits,
+                "masks": masks,
+                "boxes": boxes,
+                "seg_logits": logits,
+            }
+
+        def _e2e_from_rgb(unet_vars, gnet_vars, imgs):
+            logits, masks = segment(self.unet, unet_vars, imgs.astype(dtype))
+            crops, boxes = extract_roi(imgs.astype(dtype), masks, padding=padding, out_hw=hw)
+            cls_logits = self.gnet.apply(gnet_vars, crops, train=False)
+            return {
+                "grades": jnp.argmax(cls_logits, axis=-1),
+                "cls_logits": cls_logits,
+                "masks": masks,
+                "boxes": boxes,
+                "seg_logits": logits,
+            }
+
+        def _masks(unet_vars, imgs):
+            _, masks = segment(self.unet, unet_vars, imgs.astype(dtype))
+            return masks
+
+        def _grades_only(unet_vars, gnet_vars, gray):
+            # bench/streaming variant: returns ONLY the (N,) grades so no bulky
+            # intermediate leaves the device (host links can be slow; on the axon
+            # dev tunnel, returning the full dict costs seconds of transfer)
+            return _e2e(unet_vars, gnet_vars, gray)["grades"]
+
+        self._e2e = jax.jit(_e2e)
+        self._e2e_from_rgb = jax.jit(_e2e_from_rgb)
+        self._masks = jax.jit(_masks)
+        self._grades = jax.jit(_grades_only)
+
+    def infer_from_gray(self, gray: jax.Array) -> dict:
+        """Full pipeline from raw grayscale (N, H, W) in [0, 255]."""
+        return self._e2e(self.unet_vars, self.gnet_vars, gray)
+
+    def infer_grades(self, gray: jax.Array) -> jax.Array:
+        """Throughput variant: raw grayscale -> (N,) int grades, nothing else."""
+        return self._grades(self.unet_vars, self.gnet_vars, gray)
+
+    def infer_from_rgb(self, imgs: jax.Array) -> dict:
+        """Pipeline from already-preprocessed (N, S, S, 3) images in [0, 1]."""
+        return self._e2e_from_rgb(self.unet_vars, self.gnet_vars, imgs)
+
+    def infer_masks(self, imgs: jax.Array) -> jax.Array:
+        """Stage 1 only (分割/predict.py path)."""
+        return self._masks(self.unet_vars, imgs)

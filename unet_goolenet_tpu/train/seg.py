@@ -1,0 +1,105 @@
+"""Stage-1 (segmentation) training: the iterative-refinement train step, jitted.
+
+Reproduces 分割/main.py:149-189 exactly, but as ONE compiled XLA graph per batch
+instead of n=2 eager passes with a host round trip:
+
+  pass 0: out0 = model(imgs); loss; optimizer update          (params θ0 -> θ1)
+  pass 1: p = sigmoid(stop_grad(out0))                        (detach+cpu in the ref)
+          conf_i = mean(|0.5 - p_i| * 2) per image            (main.py:172-174)
+          imgs' = imgs + p * conf                             (confidence feedback)
+          out1 = model_θ1(imgs'); loss; optimizer update      (θ1 -> θ2)
+
+BatchNorm batch_stats advance through both passes sequentially, as in the reference.
+The returned loss matches main.py:187-189: mean of both passes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from unet_goolenet_tpu.train.losses import dc_and_bce_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_seg_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    loss_fn: Callable = dc_and_bce_loss,
+    n_refine: int = 2,
+) -> Callable:
+    """Build a jittable train step: (state, imgs NHWC, labels (N,H,W,1)) ->
+    (state, metrics dict)."""
+
+    def one_pass(params, batch_stats, opt_state, imgs, labels):
+        def losses(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                imgs,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return loss_fn(out, labels), (out, mut["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(losses, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss, out
+
+    def train_step(state: TrainState, imgs: jax.Array, labels: jax.Array):
+        params, stats, opt_state = state
+        total = jnp.float32(0.0)
+        out0 = None
+        cur_imgs = imgs
+        for i in range(n_refine):
+            if i > 0:
+                p = jax.nn.sigmoid(jax.lax.stop_gradient(out0))
+                conf = jnp.mean(
+                    jnp.abs(0.5 - p) * 2.0, axis=tuple(range(1, p.ndim)), keepdims=True
+                )
+                cur_imgs = imgs + p * conf
+            params, stats, opt_state, loss, out = one_pass(
+                params, stats, opt_state, cur_imgs, labels
+            )
+            if i == 0:
+                out0 = out
+            total = total + loss
+        metrics = {"loss": total / n_refine, "seg_loss": total}
+        return TrainState(params, stats, opt_state), metrics
+
+    return train_step
+
+
+def make_seg_eval_step(model, *, loss_fn: Callable = dc_and_bce_loss) -> Callable:
+    """Jittable val step (main.py:106-146): loss + thresholded masks."""
+
+    def eval_step(state: TrainState, imgs: jax.Array, labels: jax.Array):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs,
+            train=False,
+        )
+        loss = loss_fn(out, labels)
+        masks = (jax.nn.sigmoid(out) > 0.5).astype(jnp.float32)
+        return loss, masks
+
+    return eval_step
+
+
+def init_seg_state(model, tx, rng, input_shape=(1, 224, 224, 3)) -> TrainState:
+    variables = model.init({"params": rng}, jnp.zeros(input_shape), train=False)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
