@@ -1,0 +1,121 @@
+"""Pallas kernel parity tests (interpreter mode on CPU; compiled on real TPU).
+
+Oracles are the XLA ops (ops.conv2d etc.) already validated against torch."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from unet_goolenet_tpu import ops
+from unet_goolenet_tpu.ops import pallas as pk
+
+pk.interpret_mode(True)
+
+RNG = np.random.default_rng(7)
+
+
+def rand(*shape):
+    return jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
+
+
+class TestFusedConv3x3:
+    def test_forward_matches_xla(self):
+        x = rand(2, 16, 24, 8)
+        w = rand(3, 3, 8, 16)
+        scale = jnp.abs(rand(16)) + 0.5
+        bias = rand(16)
+        got = pk.fused_conv3x3(x, w, scale, bias, True)
+        ref = jax.nn.relu(ops.conv2d(x, w, None, padding=1) * scale + bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_forward_no_relu(self):
+        x = rand(1, 8, 8, 4)
+        w = rand(3, 3, 4, 4)
+        got = pk.fused_conv3x3(x, w, jnp.ones(4), jnp.zeros(4), False)
+        ref = ops.conv2d(x, w, None, padding=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match_xla(self):
+        x = rand(1, 8, 8, 4)
+        w = rand(3, 3, 4, 6)
+        scale = jnp.abs(rand(6)) + 0.5
+        bias = rand(6)
+
+        def f_pallas(x, w, s, b):
+            return jnp.sum(pk.fused_conv3x3(x, w, s, b, True) ** 2)
+
+        def f_xla(x, w, s, b):
+            return jnp.sum(jax.nn.relu(ops.conv2d(x, w, None, padding=1) * s + b) ** 2)
+
+        gp = jax.grad(f_pallas, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+        gx = jax.grad(f_xla, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+        for a, b_, name in zip(gp, gx, ("dx", "dw", "dscale", "dbias")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-3, err_msg=name)
+
+    def test_fallback_on_odd_height(self):
+        x = rand(1, 7, 8, 4)  # 7 not tileable -> XLA fallback
+        w = rand(3, 3, 4, 4)
+        got = pk.fused_conv3x3_or_fallback(x, w, jnp.ones(4), jnp.zeros(4))
+        ref = jax.nn.relu(ops.conv2d(x, w, None, padding=1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestDeconv2x2:
+    def test_forward_matches_xla(self):
+        x = rand(2, 8, 12, 8)
+        w = rand(2, 2, 8, 4)
+        b = rand(4)
+        got = pk.conv_transpose2x2_pallas(x, w, b)
+        ref = ops.conv_transpose2x2(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients(self):
+        x = rand(1, 4, 4, 4)
+        w = rand(2, 2, 4, 4)
+        b = rand(4)
+
+        def f_p(x, w, b):
+            return jnp.sum(pk.conv_transpose2x2_pallas(x, w, b) ** 2)
+
+        def f_x(x, w, b):
+            return jnp.sum(ops.conv_transpose2x2(x, w, b) ** 2)
+
+        gp = jax.grad(f_p, argnums=(0, 1, 2))(x, w, b)
+        gx = jax.grad(f_x, argnums=(0, 1, 2))(x, w, b)
+        for a, b_, name in zip(gp, gx, ("dx", "dw", "db")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+class TestMaxPool:
+    def test_forward(self):
+        x = rand(2, 16, 16, 8)
+        got = pk.max_pool2x2_pallas(x)
+        ref = ops.max_pool2d(x, 2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_gradient_no_ties(self):
+        # distinct values -> unique max per window -> grad matches XLA exactly
+        x = jnp.asarray(
+            RNG.permutation(16 * 16 * 4).reshape(1, 16, 16, 4).astype(np.float32))
+
+        def f_p(x):
+            return jnp.sum(pk.max_pool2x2_pallas(x) ** 2)
+
+        def f_x(x):
+            return jnp.sum(ops.max_pool2d(x, 2) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f_p)(x)), np.asarray(jax.grad(f_x)(x)),
+            rtol=1e-5, atol=1e-5)
+
+    def test_jittable(self):
+        x = rand(1, 8, 8, 4)
+        y = jax.jit(pk.max_pool2x2_pallas)(x)
+        assert y.shape == (1, 4, 4, 4)

@@ -48,6 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--warm-start", default=None)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--num-classes", type=int, default=6)
+    p.add_argument("--crop-augment", choices=["device", "none"], default="device",
+                   help="augment ROI crops on device (flips/rot/blur/jitter)")
     return p.parse_args(argv)
 
 
@@ -79,6 +81,15 @@ def main(argv=None):
                                out_hw=(args.img_size, args.img_size))
         return crops, logits
 
+    # device-resident ROI-crop augmentation (the reference does this on host per
+    # item, ROI_main.py:117-122; here it joins the jitted batch path)
+    crop_augment = None
+    if args.crop_augment == "device":
+        from unet_goolenet_tpu.data.augment import AugmentConfig
+        from unet_goolenet_tpu.data.augment_device import make_device_augment
+
+        crop_augment = make_device_augment(AugmentConfig.cls_train(args.img_size))
+
     model = GoogLeNetClassifier(num_classes=args.num_classes)
     tx = optim.make_adamw(args.lr)
     state = init_cls_state(model, tx, key,
@@ -107,6 +118,9 @@ def main(argv=None):
             imgs = jnp.asarray(batch["image"])
             crops, se_out = extract(imgs)
             rng, sub = jax.random.split(rng)
+            if crop_augment is not None:
+                rng, asub = jax.random.split(rng)
+                crops = crop_augment(asub, crops)
             state, metrics = train_step(
                 state, crops, jnp.asarray(batch["cl_label"]), se_out, sub)
             train_losses.append(metrics["loss"])

@@ -1,0 +1,330 @@
+"""Pallas TPU kernels for the UNet's hot ops (SURVEY.md §3.5: the conv stack is
+~85% of FLOPs), with custom VJPs (BASELINE.json: backward conv/transposed-conv
+Pallas kernels).
+
+Design notes (per the Pallas TPU guide):
+  * conv3x3 is lowered as NINE shifted (TH*W, Cin) @ (Cin, Cout) matmuls over a
+    row-tile — the MXU-native formulation; no im2col materialisation. The halo
+    (TH+2 rows of the padded input) is DMA'd from HBM per grid step.
+  * the BatchNorm epilogue (scale*conv+bias, folded running stats) and ReLU fuse
+    into the same kernel — one HBM round trip for the whole ConvBatchNorm block.
+  * backward dx reuses the forward kernel with rotated/transposed weights (a
+    stride-1 conv's input grad is itself a stride-1 conv); backward dw is a
+    Pallas kernel accumulating 9 (Cin, Cout) matmuls across a sequential grid
+    (TPU grids are sequential, so output revisiting is safe).
+  * f32 accumulation always; activations may be bf16.
+
+Shapes are restricted to stride 1 / pad 1 / H divisible by the row tile; the
+wrapper falls back to the XLA path otherwise (parity oracle: ops.conv2d).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unet_goolenet_tpu.ops import conv as xla_conv
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _row_tile(h: int) -> Optional[int]:
+    for th in (16, 8, 4, 2, 1):
+        if h % th == 0:
+            return th
+    return None
+
+
+# ------------------------------------------------------------------ forward
+
+
+def _fwd_kernel(x_hbm, w_ref, sb_ref, out_ref, xs, sem, *, th, w, cin, cout, relu):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    # DMA the (TH+2, W+2, Cin) halo tile from the padded input in HBM
+    dma = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(i * th, th + 2)], xs, sem
+    )
+    dma.start()
+    dma.wait()
+    acc = jnp.zeros((th * w, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xv = xs[dy : dy + th, dx : dx + w, :].reshape(th * w, cin)
+            acc += jnp.dot(xv, w_ref[dy, dx], preferred_element_type=jnp.float32)
+    scale = sb_ref[0]
+    bias = sb_ref[1]
+    y = acc * scale[None, :] + bias[None, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.reshape(th, w, cout).astype(out_ref.dtype)
+
+
+def _fused_conv3x3_fwd_impl(
+    x: jax.Array, w: jax.Array, scale: jax.Array, bias: jax.Array, relu: bool
+) -> jax.Array:
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    th = _row_tile(h)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
+    kernel = functools.partial(
+        _fwd_kernel, th=th, w=wd, cin=cin, cout=cout, relu=relu
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # padded x stays in HBM
+            pl.BlockSpec((3, 3, cin, cout), lambda ni, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cout), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, wd, cout), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wd + 2, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_INTERPRET,
+    )(xp, w.astype(x.dtype), sb)
+
+
+# ------------------------------------------------------------------ backward
+
+
+def _dw_kernel(x_hbm, g_hbm, dw_ref, xs, gs, semx, semg, *, th, w, cin, cout):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    dmax = pltpu.make_async_copy(x_hbm.at[n, pl.ds(i * th, th + 2)], xs, semx)
+    dmag = pltpu.make_async_copy(g_hbm.at[n, pl.ds(i * th, th)], gs, semg)
+    dmax.start()
+    dmag.start()
+    dmax.wait()
+    dmag.wait()
+
+    first = jnp.logical_and(n == 0, i == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    gv = gs[...].reshape(th * w, cout).astype(jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xv = xs[dy : dy + th, dx : dx + w, :].reshape(th * w, cin)
+            dw_ref[dy, dx] += jnp.dot(
+                xv.astype(jnp.float32).T, gv, preferred_element_type=jnp.float32
+            ).astype(dw_ref.dtype)
+
+
+def _conv3x3_dw_impl(x: jax.Array, g: jax.Array) -> jax.Array:
+    """dw[dy,dx,ci,co] = sum_{n,y,x} x_pad[n,y+dy,x+dx,ci] * g[n,y,x,co]."""
+    n, h, wd, cin = x.shape
+    cout = g.shape[-1]
+    th = _row_tile(h)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    kernel = functools.partial(_dw_kernel, th=th, w=wd, cin=cin, cout=cout)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((3, 3, cin, cout), lambda ni, i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 3, cin, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wd + 2, cin), x.dtype),
+            pltpu.VMEM((th, wd, cout), g.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_INTERPRET,
+    )(xp, g)
+
+
+# ------------------------------------------------------------- public op + VJP
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_conv3x3(x, w, scale, bias, relu=True):
+    """y = [relu](conv3x3_p1(x, w) * scale + bias).
+
+    `scale`/`bias` carry folded inference-mode BatchNorm (ops.fold_batchnorm) or
+    plain (ones, conv-bias)."""
+    return _fused_conv3x3_fwd_impl(x, w, scale, bias, relu)
+
+
+def _fused_fwd(x, w, scale, bias, relu):
+    y = _fused_conv3x3_fwd_impl(x, w, scale, bias, relu)
+    return y, (x, w, scale, bias, y)
+
+
+def _fused_bwd(relu, res, gy):
+    x, w, scale, bias, y = res
+    gy = gy.astype(jnp.float32)
+    if relu:
+        gy = gy * (y > 0)
+    # epilogue grads
+    spatial = (0, 1, 2)
+    gbias = jnp.sum(gy, axis=spatial)
+    # conv output = (y' - bias)/scale pre-epilogue; recompute conv for gscale:
+    # gscale = sum(gy * conv_out); conv_out = (y - bias)/scale for non-relu parts —
+    # for relu outputs, y>0 region has conv_out=(y-bias)/scale; y==0 region has
+    # gy==0 so the value there is irrelevant.
+    conv_out = (y.astype(jnp.float32) - bias) / scale
+    gscale = jnp.sum(gy * conv_out, axis=spatial)
+    g_conv = gy * scale  # grad w.r.t. raw conv output
+    g_conv = g_conv.astype(x.dtype)
+    # dx: stride-1 conv with rotated, io-transposed weights
+    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    ones = jnp.ones((x.shape[-1],), jnp.float32)
+    zeros = jnp.zeros((x.shape[-1],), jnp.float32)
+    dx = _fused_conv3x3_fwd_impl(g_conv, w_rot, ones, zeros, False)
+    dw = _conv3x3_dw_impl(x, g_conv).astype(w.dtype)
+    return dx.astype(x.dtype), dw, gscale.astype(scale.dtype), gbias.astype(bias.dtype)
+
+
+fused_conv3x3.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_conv3x3_or_fallback(x, w, scale, bias, relu=True):
+    """Dispatch: Pallas when shapes qualify (stride1/pad1, tileable H), XLA
+    otherwise."""
+    n, h, wd, cin = x.shape
+    if _row_tile(h) is None or w.shape[:2] != (3, 3):
+        y = xla_conv.conv2d(x, w, None, stride=1, padding=1)
+        y = y * scale + bias
+        return jax.nn.relu(y) if relu else y
+    return fused_conv3x3(x, w, scale, bias, relu)
+
+
+# ------------------------------------------------------- transposed conv 2x2/s2
+
+
+def _deconv_kernel(x_ref, w_ref, b_ref, out_ref, *, th, w, cin, cout):
+    xv = x_ref[0].reshape(th * w, cin)
+    y = jnp.dot(xv, w_ref[...], preferred_element_type=jnp.float32)
+    y = y + b_ref[0][None, :].repeat(4, 0).reshape(1, 4 * cout)
+    y = y.reshape(th, w, 2, 2, cout)
+    y = y.transpose(0, 2, 1, 3, 4).reshape(th * 2, w * 2, cout)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@jax.custom_vjp
+def conv_transpose2x2_pallas(x, w, b):
+    """ConvTranspose k2/s2 as one matmul + depth-to-space, in Pallas.
+    x (N,H,W,Cin), w (2,2,Cin,Cout) -> (N,2H,2W,Cout)."""
+    return _deconv_fwd_impl(x, w, b)
+
+
+def _deconv_fwd_impl(x, w, b):
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    th = _row_tile(h) or h
+    wmat = w.transpose(2, 0, 1, 3).reshape(cin, 4 * cout)  # (Cin, kh*kw*Cout)
+    kernel = functools.partial(_deconv_kernel, th=th, w=wd, cin=cin, cout=cout)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, wd, cin), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, 4 * cout), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda ni, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * th, 2 * wd, cout),
+                               lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * wd, cout), x.dtype),
+        interpret=_INTERPRET,
+    )(x, wmat.astype(x.dtype), b.reshape(1, cout).astype(x.dtype))
+
+
+def _deconv_fwd(x, w, b):
+    return _deconv_fwd_impl(x, w, b), (x, w)
+
+
+def _deconv_bwd(res, gy):
+    x, w = res
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    # inverse depth-to-space: (N,2H,2W,Co) -> (N,H,W,4Co) gathered per 2x2 cell
+    g = gy.reshape(n, h, 2, wd, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    g = g.reshape(n, h, wd, 4 * cout).astype(jnp.float32)
+    wmat = w.transpose(2, 0, 1, 3).reshape(cin, 4 * cout).astype(jnp.float32)
+    dx = jnp.einsum("nhwk,ck->nhwc", g, wmat, preferred_element_type=jnp.float32)
+    dwmat = jnp.einsum("nhwc,nhwk->ck", x.astype(jnp.float32), g,
+                       preferred_element_type=jnp.float32)
+    dw = dwmat.reshape(cin, 2, 2, cout).transpose(1, 2, 0, 3)
+    db = jnp.sum(g.reshape(-1, 4, cout), axis=(0, 1)) / 4.0 * 4.0
+    db = jnp.sum(gy.astype(jnp.float32), axis=(0, 1, 2))
+    return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(jnp.float32)
+
+
+conv_transpose2x2_pallas.defvjp(_deconv_fwd, _deconv_bwd)
+
+
+# ------------------------------------------------------------------- maxpool
+
+
+def _pool_kernel(x_ref, out_ref, *, th, w, c):
+    x = x_ref[0].reshape(th, 2, w, 2, c)
+    out_ref[0] = jnp.max(jnp.max(x, axis=3), axis=1)
+
+
+@jax.custom_vjp
+def max_pool2x2_pallas(x):
+    """2x2/s2 maxpool (UNet DownBlock) as a Pallas reshape-max."""
+    return _pool_fwd_impl(x)
+
+
+def _pool_fwd_impl(x):
+    n, h, wd, c = x.shape
+    oh, ow = h // 2, wd // 2
+    th = _row_tile(oh) or oh
+    kernel = functools.partial(_pool_kernel, th=th, w=ow, c=c)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, oh // th),
+        in_specs=[pl.BlockSpec((1, 2 * th, wd, c), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, th, ow, c), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
+        interpret=_INTERPRET,
+    )(x)
+
+
+def _pool_fwd(x):
+    y = _pool_fwd_impl(x)
+    return y, (x, y)
+
+
+def _pool_bwd(res, gy):
+    x, y = res
+    n, h, wd, c = x.shape
+    # route grads to the (first) max position in each window
+    y_up = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+    g_up = jnp.repeat(jnp.repeat(gy, 2, axis=1), 2, axis=2)
+    is_max = (x == y_up)
+    # tie-break: normalise by count of maxima in the window (matches the
+    # subgradient convention closely enough for training; XLA's select-and-
+    # scatter picks the first — differences only occur on exact ties)
+    cnt = jnp.repeat(jnp.repeat(
+        jnp.sum(is_max.reshape(n, h // 2, 2, wd // 2, 2, c), axis=(2, 4)),
+        2, axis=1), 2, axis=2)
+    return (jnp.where(is_max, g_up / jnp.maximum(cnt, 1), 0.0).astype(x.dtype),)
+
+
+max_pool2x2_pallas.defvjp(_pool_fwd, _pool_bwd)
