@@ -5,13 +5,18 @@ from unet_goolenet_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     make_sharded_seg_train_step,
+    make_tp_dp_seg_train_step,
     make_sharded_pipeline,
 )
+from unet_goolenet_tpu.parallel.tp import make_param_shardings, shard_params
 
 __all__ = [
     "make_mesh",
     "shard_batch",
     "replicate",
     "make_sharded_seg_train_step",
+    "make_tp_dp_seg_train_step",
     "make_sharded_pipeline",
+    "make_param_shardings",
+    "shard_params",
 ]

@@ -79,6 +79,24 @@ def make_sharded_seg_train_step(model, tx, mesh: Mesh, *, loss_fn=None, n_refine
     )
 
 
+def make_tp_dp_seg_train_step(model, tx, mesh: Mesh, *, loss_fn=None, n_refine=2):
+    """tp+dp train step: batch sharded over 'data', parameters sharded by the
+    tensor-parallel rules in parallel.tp over 'model' (replicated where no rule).
+
+    Placement contract: the caller shards params with tp.shard_params and builds
+    opt_state AFTER sharding (optax zeros_like inherits shardings); jit then
+    infers in/out shardings from the committed inputs and XLA SPMD inserts the
+    collectives.
+    """
+    from unet_goolenet_tpu.train.seg import make_seg_train_step
+    from unet_goolenet_tpu.train.losses import dc_and_bce_loss
+
+    step = make_seg_train_step(
+        model, tx, loss_fn=loss_fn or dc_and_bce_loss, n_refine=n_refine
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_sharded_pipeline(pipeline, mesh: Mesh):
     """Shard the fused two-stage inference over 'data': returns a callable
     (gray (N,H,W)) -> outputs, with N divided across the mesh."""

@@ -13,11 +13,21 @@ from typing import Optional
 
 
 class MetricLogger:
-    def __init__(self, log_dir: Optional[str] = None, run_name: str = "run"):
+    def __init__(self, log_dir: Optional[str] = None, run_name: str = "run",
+                 tensorboard: bool = False):
         self.path = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self.path = os.path.join(log_dir, f"{run_name}.jsonl")
+            if tensorboard:
+                try:
+                    import tensorflow as tf
+
+                    self._tb = tf.summary.create_file_writer(
+                        os.path.join(log_dir, "tb", run_name))
+                except ImportError:
+                    pass  # TB is optional; JSONL is the source of truth
         self._t0 = time.time()
 
     def log(self, step: int, **metrics) -> None:
@@ -35,3 +45,11 @@ class MetricLogger:
             with open(self.path, "a") as f:
                 f.write(json.dumps(
                     {"step": step, "time": time.time() - self._t0, **scalars}) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    if isinstance(v, float):
+                        tf.summary.scalar(k, v, step=step)
+            self._tb.flush()
