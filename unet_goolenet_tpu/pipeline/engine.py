@@ -1,0 +1,160 @@
+"""Inference engine: a hand-scheduled forward pass of the flagship UNet built
+directly on the ops layer from a flax variables tree.
+
+Purpose: serving-path speed. Differences from the flax `model.apply` graph:
+  * inference BatchNorm is FOLDED into the conv weights (ops.fold_batchnorm), so
+    every ConvBatchNorm is a single conv+bias+relu — no separate normalisation
+    passes over the big activations;
+  * transposed convs use the matmul + depth-to-space lowering;
+  * everything stays in the caller's dtype (bf16 for streaming) with f32
+    accumulation.
+
+Numerics match `UNetTaskAligWeight.apply(train=False)` to float tolerance
+(tests/test_engine.py). The variables tree is the same one flax/the converter
+produce — the engine is a pure function over it, no re-export needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unet_goolenet_tpu import ops
+
+
+def _cbn(x, p, s, *, eps=1e-5, relu=True):
+    """ConvBatchNorm block from params p={conv:{conv:{kernel,bias}},norm:{...}}
+    and batch_stats s={norm:{mean,var}}."""
+    w, b = ops.fold_batchnorm(
+        p["conv"]["conv"]["kernel"], p["conv"]["conv"]["bias"],
+        p["norm"]["scale"], p["norm"]["bias"], s["norm"]["mean"], s["norm"]["var"],
+        eps,
+    )
+    y = ops.conv2d(x, w.astype(x.dtype), b.astype(x.dtype), padding=1)
+    return jax.nn.relu(y) if relu else y
+
+
+def _stack(x, p, s, n=2):
+    for i in range(n):
+        x = _cbn(x, p[f"block{i}"], s[f"block{i}"])
+    return x
+
+
+def _conv1x1(x, p):
+    return ops.conv2d(x, p["conv"]["kernel"].astype(x.dtype),
+                      p["conv"]["bias"].astype(x.dtype), padding=0)
+
+
+def _coord_att3(e, d, p, s):
+    e1 = _stack(e, p["conv1_e"], s["conv1_e"], 1)
+    avg = jnp.mean(e1, axis=(1, 2), keepdims=True)
+    mx = jnp.max(e1, axis=(1, 2), keepdims=True)
+    gate = jax.nn.sigmoid(_conv1x1(
+        jax.nn.relu(_conv1x1(avg, p["fc_avg"])) +
+        jax.nn.relu(_conv1x1(mx, p["fc_max"])), p["fc_out"]))
+    d2 = _stack(d, p["conv2_e"], s["conv2_e"], 1)
+    return e1 + gate * d2 + d2
+
+
+def _up_alig(x, skip, p, s):
+    up = ops.conv_transpose2x2(x, p["up"]["kernel"].astype(x.dtype),
+                               p["up"]["bias"].astype(x.dtype))
+    gated = _coord_att3(skip, up, p["cca"], s["cca"])
+    return _stack(jnp.concatenate([up, gated], axis=-1), p["nConvs"], s["nConvs"])
+
+
+def _attention(x, p, heads, scale):
+    qkv = jnp.dot(x, p["to_qkv"]["kernel"].astype(x.dtype),
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return _attend(q, k, v, p["to_out"], heads, scale, x.dtype)
+
+
+def _cross(x, m, p, heads, scale):
+    q = jnp.dot(x, p["to_q"]["kernel"].astype(x.dtype))
+    k = jnp.dot(m, p["to_k"]["kernel"].astype(x.dtype))
+    v = jnp.dot(m, p["to_v"]["kernel"].astype(x.dtype))
+    return _attend(q, k, v, p["to_out"], heads, scale, x.dtype)
+
+
+def _attend(q, k, v, out_p, heads, scale, dtype):
+    b, n, hd = q.shape
+    d = hd // heads
+    split = lambda t: t.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+    qh, kh, vh = split(q), split(k), split(v)
+    logits = jnp.einsum("bhid,bhjd->bhij", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    o = jnp.einsum("bhij,bhjd->bhid", attn, vh,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, hd)
+    return jnp.dot(o, out_p["kernel"].astype(dtype)) + out_p["bias"].astype(dtype)
+
+
+def _layernorm(x, p, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    return xn * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def _feed(x, p):
+    h = jnp.dot(x, p["fc1"]["kernel"].astype(x.dtype)) + p["fc1"]["bias"].astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    return jnp.dot(h, p["fc2"]["kernel"].astype(x.dtype)) + p["fc2"]["bias"].astype(x.dtype)
+
+
+def _conv_proj(x, pw, pbn, sbn):
+    w, b = ops.fold_batchnorm(pw["conv"]["kernel"], None, pbn["scale"],
+                              pbn["bias"], sbn["mean"], sbn["var"], 1e-5)
+    return jax.nn.relu(ops.conv2d(x, w.astype(x.dtype), b.astype(x.dtype), padding=1))
+
+
+def _transformer(x, m, p, s, *, heads=8, dim=512):
+    n, h, w, c = x.shape
+    scale = dim ** -0.5  # the reference's dim**-0.5 quirk
+    x = _conv_proj(x, p["conv_cl_conv"], p["conv_cl_bn"], s["conv_cl_bn"])
+    m = _conv_proj(m, p["conv_seg_conv"], p["conv_seg_bn"], s["conv_seg_bn"])
+    x = x + p["pos_embedding_cl"].astype(x.dtype)
+    m = m + p["pos_embedding_seg"].astype(m.dtype)
+    x = x.reshape(n, h * w, c)
+    m = m.reshape(n, h * w, c)
+    i = 0
+    while f"layer{i}" in p:
+        lp = p[f"layer{i}"]
+        xn = _layernorm(x, lp["x_att_norm"])
+        mn = _layernorm(m, lp["m_att_norm"])
+        x_att = _attention(xn, lp["attention1"], heads, scale)
+        m_att = _attention(mn, lp["attention2"], heads, scale)
+        x_cross = _cross(xn, mn, lp["cross_attention_cl"], heads, scale)
+        m_cross = _cross(mn, xn, lp["cross_attention_cl"], heads, scale)
+        x_mid = x_att + x_cross + x
+        m_mid = m_att + m_cross + m
+        x = x_mid + _feed(_layernorm(x_mid, lp["x_mlp_norm"]), lp["x_feed"])
+        m = m_mid + _feed(_layernorm(m_mid, lp["m_mlp_norm"]), lp["m_feed"])
+        i += 1
+    return x.reshape(n, h, w, c), m.reshape(n, h, w, c)
+
+
+def unet_forward(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
+    """Engine forward of UNetTaskAligWeight: variables from model.init / the
+    checkpoint converter; x (N, H, W, 3) -> logits (N, H, W, n_classes)."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    t = p["trunk"]
+    ts = s["trunk"]
+    x1 = _cbn(x, t["inc"], ts["inc"])
+    feats = [x1]
+    h = x1
+    for i in range(1, 5):
+        h = ops.max_pool2d(h, 2)
+        h = _stack(h, t[f"down{i}"]["nConvs"], ts[f"down{i}"]["nConvs"])
+        feats.append(h)
+    _, out0 = _transformer(feats[4], feats[4], p["task2"], s["task2"])
+    y = _up_alig(out0, feats[3], p["up4"], s["up4"])
+    y = _up_alig(y, feats[2], p["up3"], s["up3"])
+    y = _up_alig(y, feats[1], p["up2"], s["up2"])
+    y = _up_alig(y, feats[0], p["up1"], s["up1"])
+    return _conv1x1(y, p["outc"])
