@@ -43,20 +43,32 @@ def _row_tile(h: int) -> Optional[int]:
 # ------------------------------------------------------------------ forward
 
 
-def _fwd_kernel(x_hbm, w_ref, sb_ref, out_ref, xs, sem, *, th, w, cin, cout, relu):
-    n = pl.program_id(0)
-    i = pl.program_id(1)
-    # DMA the (TH+2, W+2, Cin) halo tile from the padded input in HBM
-    dma = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(i * th, th + 2)], xs, sem
-    )
-    dma.start()
-    dma.wait()
+def _shifted_views(x: jax.Array):
+    """Nine tap-aligned views of the zero-padded input, each (N, H, W, C).
+
+    Trading 9x input reads for a kernel with ZERO in-kernel slicing/DMA: every
+    tap is a plain BlockSpec-pipelined operand, so Mosaic's tiling/alignment
+    constraints never bite (the halo-DMA formulation trips them — see module
+    docstring history). Input bytes are small next to conv FLOPs at these
+    shapes, so the extra traffic is in the noise.
+    """
+    n, h, wd, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return [
+        jax.lax.slice(xp, (0, dy, dx, 0), (n, dy + h, dx + wd, c))
+        for dy in range(3)
+        for dx in range(3)
+    ]
+
+
+def _fwd_kernel(*refs, th, w, cin, cout, relu):
+    tap_refs = refs[:9]
+    w_ref, sb_ref, out_ref = refs[9], refs[10], refs[11]
     acc = jnp.zeros((th * w, cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            xv = xs[dy : dy + th, dx : dx + w, :].reshape(th * w, cin)
-            acc += jnp.dot(xv, w_ref[dy, dx], preferred_element_type=jnp.float32)
+    for t in range(9):
+        xv = tap_refs[t][0].reshape(th * w, cin)
+        acc += jnp.dot(xv, w_ref[t // 3, t % 3],
+                       preferred_element_type=jnp.float32)
     scale = sb_ref[0]
     bias = sb_ref[1]
     y = acc * scale[None, :] + bias[None, :]
@@ -71,16 +83,17 @@ def _fused_conv3x3_fwd_impl(
     n, h, wd, cin = x.shape
     cout = w.shape[-1]
     th = _row_tile(h)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    views = _shifted_views(x)
     sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
     kernel = functools.partial(
         _fwd_kernel, th=th, w=wd, cin=cin, cout=cout, relu=relu
     )
+    block = pl.BlockSpec((1, th, wd, cin), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(n, h // th),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # padded x stays in HBM
+        in_specs=[block] * 9 + [
             pl.BlockSpec((3, 3, cin, cout), lambda ni, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, cout), lambda ni, i: (0, 0),
@@ -89,67 +102,52 @@ def _fused_conv3x3_fwd_impl(
         out_specs=pl.BlockSpec((1, th, wd, cout), lambda ni, i: (ni, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2, wd + 2, cin), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=_INTERPRET,
-    )(xp, w.astype(x.dtype), sb)
+    )(*views, w.astype(x.dtype), sb)
 
 
 # ------------------------------------------------------------------ backward
 
 
-def _dw_kernel(x_hbm, g_hbm, dw_ref, xs, gs, semx, semg, *, th, w, cin, cout):
-    n = pl.program_id(0)
-    i = pl.program_id(1)
-    dmax = pltpu.make_async_copy(x_hbm.at[n, pl.ds(i * th, th + 2)], xs, semx)
-    dmag = pltpu.make_async_copy(g_hbm.at[n, pl.ds(i * th, th)], gs, semg)
-    dmax.start()
-    dmag.start()
-    dmax.wait()
-    dmag.wait()
-
-    first = jnp.logical_and(n == 0, i == 0)
+def _dw_kernel(*refs, th, w, cin, cout):
+    tap_refs = refs[:9]
+    g_ref, dw_ref = refs[9], refs[10]
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    gv = gs[...].reshape(th * w, cout).astype(jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            xv = xs[dy : dy + th, dx : dx + w, :].reshape(th * w, cin)
-            dw_ref[dy, dx] += jnp.dot(
-                xv.astype(jnp.float32).T, gv, preferred_element_type=jnp.float32
-            ).astype(dw_ref.dtype)
+    gv = g_ref[0].reshape(th * w, cout).astype(jnp.float32)
+    for t in range(9):
+        xv = tap_refs[t][0].reshape(th * w, cin).astype(jnp.float32)
+        dw_ref[t // 3, t % 3] += jnp.dot(
+            xv.T, gv, preferred_element_type=jnp.float32
+        ).astype(dw_ref.dtype)
 
 
 def _conv3x3_dw_impl(x: jax.Array, g: jax.Array) -> jax.Array:
-    """dw[dy,dx,ci,co] = sum_{n,y,x} x_pad[n,y+dy,x+dx,ci] * g[n,y,x,co]."""
+    """dw[dy,dx,ci,co] = sum_{n,y,x} x_pad[n,y+dy,x+dx,ci] * g[n,y,x,co].
+    Same nine-view formulation as the forward; the (3,3,Cin,Cout) output block is
+    revisited across the sequential TPU grid and accumulated in place."""
     n, h, wd, cin = x.shape
     cout = g.shape[-1]
     th = _row_tile(h)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    views = _shifted_views(x)
     kernel = functools.partial(_dw_kernel, th=th, w=wd, cin=cin, cout=cout)
+    block = pl.BlockSpec((1, th, wd, cin), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    gblock = pl.BlockSpec((1, th, wd, cout), lambda ni, i: (ni, i, 0, 0),
+                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(n, h // th),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[block] * 9 + [gblock],
         out_specs=pl.BlockSpec((3, 3, cin, cout), lambda ni, i: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, 3, cin, cout), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2, wd + 2, cin), x.dtype),
-            pltpu.VMEM((th, wd, cout), g.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=_INTERPRET,
-    )(xp, g)
+    )(*views, g)
 
 
 # ------------------------------------------------------------- public op + VJP
