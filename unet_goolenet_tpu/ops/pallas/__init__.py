@@ -4,13 +4,15 @@ Kernels run compiled on TPU; on CPU they run through the Pallas interpreter
 (set `interpret_mode(True)` — the tests do this) so the whole suite stays
 hardware-independent.
 
-STATUS: numerics (forward + custom VJPs) are verified against the XLA oracles in
-tests/test_pallas.py. On this dev environment's remote TPU the halo-DMA conv
-kernel currently trips two Mosaic limitations (HBM DMA slices need 128-aligned
-minor dims; a C=128 variant faulted the worker), so production paths default to
-the XLA ops — which XLA:TPU already lowers to MXU-optimal convs — and the Pallas
-path is opt-in via `fused_conv3x3_or_fallback`/explicit calls. Revisit on real
-hardware where kernel crashes don't cost an hour of tunnel recovery.
+STATUS: forward + custom-VJP numerics verified against the XLA oracles in
+tests/test_pallas.py (interpreter) AND compiled/executed on the real v5e chip
+(nine-view formulation; VMEM-budgeted row tiles). Measured on-chip vs XLA at the
+UNet's shapes: parity at >=128 channels; XLA ~2.5x faster at the 64-channel
+224^2 level (the 128-lane padding wastes half the MXU for any matmul-form conv,
+and XLA's native conv handles it better). Production paths therefore default to
+XLA; the Pallas path is selected via `fused_conv3x3_or_fallback` or explicit
+calls, and is the substrate for future multi-layer-fusion work where XLA cannot
+follow (e.g. ConvStack kept resident in VMEM).
 """
 
 from unet_goolenet_tpu.ops.pallas import conv as _conv_mod

@@ -4,8 +4,10 @@ Pallas kernels).
 
 Design notes (per the Pallas TPU guide):
   * conv3x3 is lowered as NINE shifted (TH*W, Cin) @ (Cin, Cout) matmuls over a
-    row-tile — the MXU-native formulation; no im2col materialisation. The halo
-    (TH+2 rows of the padded input) is DMA'd from HBM per grid step.
+    row-tile — the MXU-native formulation; no im2col materialisation. Each tap
+    is a separate BlockSpec-pipelined view of the padded input (nine-view
+    formulation): zero in-kernel DMA/slicing, so Mosaic alignment constraints
+    never apply. Row tiles are chosen against a lane-padded VMEM budget.
   * the BatchNorm epilogue (scale*conv+bias, folded running stats) and ReLU fuse
     into the same kernel — one HBM round trip for the whole ConvBatchNorm block.
   * backward dx reuses the forward kernel with rotated/transposed weights (a
@@ -33,11 +35,29 @@ from unet_goolenet_tpu.ops import conv as xla_conv
 _INTERPRET = False  # flipped by tests on CPU
 
 
-def _row_tile(h: int) -> Optional[int]:
+def _row_tile(h: int, *, budget_bytes: Optional[int] = None) -> Optional[int]:
     for th in (16, 8, 4, 2, 1):
-        if h % th == 0:
+        if h % th == 0 and (budget_bytes is None or budget_bytes(th) < 12_000_000):
             return th
     return None
+
+
+def _conv_tile(h: int, w: int, cin: int, cout: int, itemsize: int) -> Optional[int]:
+    """Largest row tile whose double-buffered nine views + output + f32
+    accumulator fit the ~16MB VMEM (12MB budget leaves headroom)."""
+
+    # Mosaic pads the lane (last) dim to 128, so VMEM cost uses padded channels
+    cin_p = -(-cin // 128) * 128
+    cout_p = -(-cout // 128) * 128
+
+    def bytes_for(th):
+        views = 9 * 2 * th * w * cin_p * itemsize     # double-buffered inputs
+        out = 2 * th * w * cout_p * itemsize
+        acc = th * w * cout_p * 4                      # f32 accumulator
+        wts = 9 * cin_p * cout_p * itemsize + 8 * cout_p
+        return views + out + acc + wts
+
+    return _row_tile(h, budget_bytes=bytes_for)
 
 
 # ------------------------------------------------------------------ forward
@@ -82,7 +102,7 @@ def _fused_conv3x3_fwd_impl(
 ) -> jax.Array:
     n, h, wd, cin = x.shape
     cout = w.shape[-1]
-    th = _row_tile(h)
+    th = _conv_tile(h, wd, cin, cout, x.dtype.itemsize)
     views = _shifted_views(x)
     sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
     kernel = functools.partial(
@@ -132,7 +152,7 @@ def _conv3x3_dw_impl(x: jax.Array, g: jax.Array) -> jax.Array:
     revisited across the sequential TPU grid and accumulated in place."""
     n, h, wd, cin = x.shape
     cout = g.shape[-1]
-    th = _row_tile(h)
+    th = _conv_tile(h, wd, cin, cout, x.dtype.itemsize)
     views = _shifted_views(x)
     kernel = functools.partial(_dw_kernel, th=th, w=wd, cin=cin, cout=cout)
     block = pl.BlockSpec((1, th, wd, cin), lambda ni, i: (ni, i, 0, 0),
@@ -199,7 +219,7 @@ def fused_conv3x3_or_fallback(x, w, scale, bias, relu=True):
     """Dispatch: Pallas when shapes qualify (stride1/pad1, tileable H), XLA
     otherwise."""
     n, h, wd, cin = x.shape
-    if _row_tile(h) is None or w.shape[:2] != (3, 3):
+    if _conv_tile(h, wd, cin, w.shape[-1], x.dtype.itemsize) is None or w.shape[:2] != (3, 3):
         y = xla_conv.conv2d(x, w, None, stride=1, padding=1)
         y = y * scale + bias
         return jax.nn.relu(y) if relu else y
