@@ -88,6 +88,23 @@ class TestClsTraining:
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
 
+    def test_aux_loss_training(self):
+        model = GoogLeNetClassifier(num_classes=6, aux_logits=True)
+        tx = optim.make_adamw(1e-3)
+        state = init_cls_state(model, tx, KEY, input_shape=(1, 64, 64, 3))
+        # aux params exist
+        assert "aux1" in state.params["googlenet"]
+        step = jax.jit(make_cls_train_step(model, tx, aux_weight=0.3))
+        imgs = jax.random.uniform(KEY, (2, 64, 64, 3))
+        labels = jnp.asarray([0, 1])
+        se_out = jax.random.normal(KEY, (2, 64, 64, 1))
+        state, m = step(state, imgs, labels, se_out, jax.random.PRNGKey(3))
+        assert np.isfinite(float(m["loss"]))
+        # eval mode returns plain logits even with aux heads (torchvision semantics)
+        ev = jax.jit(make_cls_eval_step(model))
+        loss, logits = ev(state, imgs, labels)
+        assert logits.shape == (2, 6)
+
     def test_eval_step(self):
         model = GoogLeNetClassifier(num_classes=6)
         tx = optim.make_adamw(1e-4)

@@ -50,6 +50,8 @@ def parse_args(argv=None):
     p.add_argument("--num-classes", type=int, default=6)
     p.add_argument("--crop-augment", choices=["device", "none"], default="device",
                    help="augment ROI crops on device (flips/rot/blur/jitter)")
+    p.add_argument("--aux-weight", type=float, default=0.0,
+                   help=">0 enables GoogLeNet aux heads + paper-style aux CE loss")
     return p.parse_args(argv)
 
 
@@ -90,7 +92,8 @@ def main(argv=None):
 
         crop_augment = make_device_augment(AugmentConfig.cls_train(args.img_size))
 
-    model = GoogLeNetClassifier(num_classes=args.num_classes)
+    model = GoogLeNetClassifier(num_classes=args.num_classes,
+                                aux_logits=args.aux_weight > 0)
     tx = optim.make_adamw(args.lr)
     state = init_cls_state(model, tx, key,
                            input_shape=(1, args.img_size, args.img_size, 3))
@@ -101,7 +104,9 @@ def main(argv=None):
     elif args.warm_start:
         state, _ = mgr.restore(args.warm_start, state)
 
-    train_step = jax.jit(make_cls_train_step(model, tx), donate_argnums=0)
+    train_step = jax.jit(
+        make_cls_train_step(model, tx, aux_weight=args.aux_weight),
+        donate_argnums=0)
     eval_step = jax.jit(make_cls_eval_step(model))
 
     plateau = optim.plateau_init(args.lr)

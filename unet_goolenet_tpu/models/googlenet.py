@@ -169,7 +169,8 @@ class GoogLeNet(nn.Module):
         logits = nn.Dense(self.num_classes, kernel_init=torch_linear_init,
                           bias_init=torch_bias_init(1024), dtype=self.dtype,
                           name="fc")(x)
-        if self.aux_logits:
+        if self.aux_logits and train:
+            # torchvision semantics: aux outputs only in training mode
             return logits, aux2, aux1
         return logits
 

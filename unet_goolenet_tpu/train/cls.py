@@ -18,7 +18,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from unet_goolenet_tpu.train.losses import softmax_cross_entropy
+from unet_goolenet_tpu.train.losses import (
+    softmax_cross_entropy,
+    aux_weighted_cross_entropy,
+)
 from unet_goolenet_tpu.train.seg import TrainState
 
 
@@ -28,9 +31,15 @@ def make_cls_train_step(
     *,
     n_refine: int = 2,
     long_cast_quirk: bool = True,
+    aux_weight: float = 0.0,
 ) -> Callable:
     """(state, imgs, labels, se_out, rng) -> (state, metrics).
-    imgs: (N,224,224,3) ROI crops; se_out: (N,224,224,1) frozen-UNet logits."""
+    imgs: (N,224,224,3) ROI crops; se_out: (N,224,224,1) frozen-UNet logits.
+
+    `aux_weight > 0` enables GoogLeNet paper-style aux-loss training
+    (CE(main) + w*sum CE(aux)); requires the model built with aux_logits=True.
+    The reference never exercises aux heads (pretrained torchvision strips
+    them) — this is the BASELINE.json-requested extension."""
 
     def one_pass(params, batch_stats, opt_state, imgs, labels, rng):
         def losses(p):
@@ -41,7 +50,13 @@ def make_cls_train_step(
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
-            return softmax_cross_entropy(out, labels), mut["batch_stats"]
+            if aux_weight > 0.0:
+                main, aux2, aux1 = out
+                loss = aux_weighted_cross_entropy(
+                    main, [aux1, aux2], labels, aux_weight=aux_weight)
+            else:
+                loss = softmax_cross_entropy(out, labels)
+            return loss, mut["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(losses, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
