@@ -10,7 +10,6 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple, Union
 
 import jax

@@ -285,7 +285,6 @@ def _deconv_bwd(res, gy):
     dwmat = jnp.einsum("nhwc,nhwk->ck", x.astype(jnp.float32), g,
                        preferred_element_type=jnp.float32)
     dw = dwmat.reshape(cin, 2, 2, cout).transpose(1, 2, 0, 3)
-    db = jnp.sum(g.reshape(-1, 4, cout), axis=(0, 1)) / 4.0 * 4.0
     db = jnp.sum(gy.astype(jnp.float32), axis=(0, 1, 2))
     return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(jnp.float32)
 

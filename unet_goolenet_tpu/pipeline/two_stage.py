@@ -23,7 +23,7 @@ Semantics notes:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ The returned loss matches main.py:187-189: mean of both passes.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
