@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--warm-start", default=None, help="checkpoint to load weights from")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
+    p.add_argument("--device-epoch", action="store_true",
+                   help="fully device-resident training: stage the dataset once, "
+                        "augment on device, run each epoch as ONE jitted scan "
+                        "(augmentation then acts on the resized images rather "
+                        "than raw-size ones — semantically close, not identical)")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--hausdorff", action="store_true",
                    help="compute the (host-side) Hausdorff val metric")
@@ -85,20 +90,51 @@ def main(argv=None):
         put = lambda b: b
     eval_step = jax.jit(make_seg_eval_step(model))
 
+    epoch_runner = None
+    device_data = None
+    if args.device_epoch:
+        from unet_goolenet_tpu.data.augment import AugmentConfig
+        from unet_goolenet_tpu.data.augment_device import make_device_augment
+        from unet_goolenet_tpu.train.epoch import make_epoch_runner
+
+        # stage the full (eval-resized) training set on device once
+        eval_ds = SegDataset(args.train_dir, img_size=args.img_size, train=False)
+        all_imgs = np.stack([eval_ds[i]["image"] for i in range(len(eval_ds))])
+        all_masks = np.stack(
+            [eval_ds[i]["se_label"][..., 0] for i in range(len(eval_ds))]
+        ).astype(np.int32)
+        device_data = (jnp.asarray(all_imgs), jnp.asarray(all_masks))
+        augment = make_device_augment(
+            AugmentConfig.seg_train(args.img_size), with_mask=True)
+        epoch_runner = make_epoch_runner(
+            make_seg_train_step(model, tx), args.batch_size)
+
+        def run_device_epoch(state, key):
+            akey, skey = jax.random.split(key)
+            imgs, masks = augment(akey, *device_data)
+            return epoch_runner(
+                state, imgs, masks[..., None].astype(jnp.float32), skey)
+
     plateau = optim.plateau_init(args.lr)
     stopper = optim.EarlyStopper(patience=50, lr_threshold=args.lr, extension=20)
     best_val_loss = float("inf")
     best_dice = 0.0
 
+    epoch_key = jax.random.PRNGKey(args.seed)
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         optim.set_learning_rate(state.opt_state, plateau.lr)
-        train_losses = []
-        for batch in train_loader:
-            b = put({"imgs": batch["image"], "labels": batch["se_label"]})
-            state, metrics = train_step(state, b["imgs"], b["labels"])
-            train_losses.append(metrics["loss"])
-        train_loss = float(jnp.mean(jnp.stack(train_losses)))
+        if args.device_epoch:
+            epoch_key, sub = jax.random.split(epoch_key)
+            state, loss = run_device_epoch(state, sub)
+            train_loss = float(loss)
+        else:
+            train_losses = []
+            for batch in train_loader:
+                b = put({"imgs": batch["image"], "labels": batch["se_label"]})
+                state, metrics = train_step(state, b["imgs"], b["labels"])
+                train_losses.append(metrics["loss"])
+            train_loss = float(jnp.mean(jnp.stack(train_losses)))
 
         seg_metrics = SegMetrics(empty_pred_hack=True,
                                  compute_hausdorff=args.hausdorff)
