@@ -135,3 +135,45 @@ class TestLoader:
         ds = SegDataset(os.path.join(busi_root, "train"), img_size=32)
         loader = DataLoader(ds, batch_size=3, drop_last=True)
         assert len(list(loader)) == 1
+
+    def test_dataset_error_propagates(self):
+        class Broken:
+            def __len__(self):
+                return 6
+
+            def __getitem__(self, i):
+                if i == 3:
+                    raise IOError("corrupt image")
+                return {"x": np.zeros(2, np.float32)}
+
+        loader = DataLoader(Broken(), batch_size=2, num_workers=2)
+        with pytest.raises(RuntimeError, match="worker failed"):
+            list(loader)
+
+    def test_prefetch_bounds_read_ahead(self):
+        import itertools
+        import threading
+        import time
+
+        fetched = itertools.count()
+        count = [0]
+        lock = threading.Lock()
+
+        class Counting:
+            def __len__(self):
+                return 32
+
+            def __getitem__(self, i):
+                with lock:
+                    count[0] += 1
+                return {"x": np.zeros(2, np.float32)}
+
+        loader = DataLoader(Counting(), batch_size=2, num_workers=2, prefetch=2)
+        it = iter(loader)
+        next(it)
+        time.sleep(0.3)  # a stalled consumer must not let workers run away
+        # consumed 1 batch + prefetch slots (2) + at most num_workers in flight
+        assert count[0] <= (1 + 2 + 2) * 2, count[0]
+        for _ in it:
+            pass
+        assert count[0] == 32

@@ -79,6 +79,18 @@ class TestClsMetrics:
         cm = np.array([[2, 0], [0, 2]])
         assert macro_f1(cm) == 1.0
 
+    def test_macro_excludes_fully_absent_classes(self):
+        # torchmetrics multiclass macro ignores classes absent from BOTH targets
+        # and predictions (_adjust_weights_safe_divide)
+        cm = np.zeros((3, 3), np.int64)
+        cm[0, 0] = 4  # class 0 perfect
+        cm[1, 1] = 2  # class 1 perfect; class 2 never appears anywhere
+        assert macro_f1(cm) == 1.0
+        assert macro_accuracy(cm) == 1.0
+        # class 2 predicted (but never true) DOES count
+        cm[0, 2] = 1
+        assert macro_f1(cm) < 1.0
+
     def test_auroc_vs_sklearn(self):
         from sklearn.metrics import roc_auc_score
 

@@ -129,7 +129,7 @@ def adjust_hue(img, shift):
 
 def _augment_one(cfg: AugmentConfig, key: jax.Array, img: jax.Array,
                  mask: Optional[jax.Array]):
-    keys = jax.random.split(key, 16)
+    keys = jax.random.split(key, 20)
     s = cfg.img_size
 
     def gate(i, p):
@@ -189,7 +189,7 @@ def _augment_one(cfg: AugmentConfig, key: jax.Array, img: jax.Array,
 
     if cfg.color_jitter:
         b, c, sat, h = cfg.color_jitter
-        jkeys = jax.random.split(keys[0], 4)
+        jkeys = keys[16:20]  # fresh keys — keys[0] already fed the gamma draw
         if b:
             img = adjust_brightness(img, jax.random.uniform(
                 jkeys[0], (), minval=max(0, 1 - b), maxval=1 + b))

@@ -5,6 +5,10 @@ are cv2/PIL-bound and release the GIL during decode; prefetching overlaps host I
 with device steps. The reference had to force num_workers=0 for stage 2 because it
 ran CUDA inside __getitem__ (ROI_main.py:290-291) — our datasets are pure host code,
 so prefetch always works.
+
+Robustness: dataset exceptions propagate to the consumer (no deadlock, no silent
+short epochs), and in-flight decoded batches are bounded by `prefetch` via a slot
+semaphore (out-of-order completion cannot buffer unboundedly).
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
         self._epoch = 0
         self._seed = seed
 
@@ -70,9 +74,10 @@ class DataLoader:
             batches.pop()
 
         work: "queue.Queue[Optional[int]]" = queue.Queue()
-        done: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        results: Dict[int, Dict] = {}
-        lock = threading.Lock()
+        done: "queue.Queue" = queue.Queue()
+        # bounds decoded-but-unconsumed batches (including out-of-order ones)
+        slots = threading.Semaphore(self.prefetch)
+        stop = threading.Event()
 
         for bi in range(len(batches)):
             work.put(bi)
@@ -80,37 +85,51 @@ class DataLoader:
             work.put(None)
 
         def worker():
-            while True:
+            while not stop.is_set():
+                # acquire the slot BEFORE taking a work item: work is FIFO, so the
+                # <= prefetch in-flight/unconsumed batches are always the OLDEST
+                # ones — the consumer's next batch is always assigned to a worker
+                # that holds a slot, which rules out the ordering deadlock where
+                # both slots are held by newer out-of-order results
+                slots.acquire()
+                if stop.is_set():
+                    return
                 bi = work.get()
                 if bi is None:
-                    done.put(None)
+                    slots.release()
                     return
-                batch = _collate([self.dataset[int(i)] for i in batches[bi]])
-                done.put((bi, batch))
+                try:
+                    batch = _collate([self.dataset[int(i)] for i in batches[bi]])
+                except BaseException as exc:  # propagate, don't deadlock
+                    done.put(("error", bi, exc))
+                    return
+                done.put(("ok", bi, batch))
 
-        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
         for t in threads:
             t.start()
 
-        finished_workers = 0
+        results: Dict[int, Dict] = {}
         next_bi = 0
         try:
             while next_bi < len(batches):
-                item = done.get()
-                if item is None:
-                    finished_workers += 1
-                    if finished_workers == self.num_workers and next_bi < len(batches):
-                        # workers done but batches missing — only possible on error
-                        break
-                    continue
-                bi, batch = item
-                with lock:
-                    results[bi] = batch
-                while next_bi in results:
-                    with lock:
-                        out = results.pop(next_bi)
+                if next_bi in results:
+                    out = results.pop(next_bi)
                     next_bi += 1
+                    slots.release()
                     yield out
+                    continue
+                kind, bi, payload = done.get()
+                if kind == "error":
+                    raise RuntimeError(
+                        f"DataLoader worker failed on batch {bi}"
+                    ) from payload
+                results[bi] = payload
         finally:
+            stop.set()
+            # unblock any worker waiting on a slot
+            for _ in threads:
+                slots.release()
             for t in threads:
-                t.join(timeout=0.1)
+                t.join(timeout=0.5)

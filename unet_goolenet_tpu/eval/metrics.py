@@ -51,7 +51,9 @@ def _boundary(mask: np.ndarray) -> np.ndarray:
         return np.zeros_like(m)
     from scipy.ndimage import binary_erosion
 
-    return m & ~binary_erosion(m, border_value=1)
+    # border_value=0 (scipy default) matches monai get_mask_edges: pixels on the
+    # image border stay part of the surface
+    return m & ~binary_erosion(m, border_value=0)
 
 
 def hausdorff_distance(
@@ -88,24 +90,33 @@ def confusion_matrix(preds: np.ndarray, labels: np.ndarray, num_classes: int) ->
     return cm
 
 
+def _present_classes(cm: np.ndarray) -> np.ndarray:
+    """torchmetrics macro averaging (task='multiclass') excludes classes absent
+    from BOTH targets and predictions (_adjust_weights_safe_divide)."""
+    return (cm.sum(1) > 0) | (cm.sum(0) > 0)
+
+
 def macro_f1(cm: np.ndarray) -> float:
-    """Macro F1 from a confusion matrix (torchmetrics F1Score(average='macro')):
-    per-class F1 with 0 for undefined classes, plain mean over all classes."""
+    """Macro F1 (torchmetrics F1Score(average='macro', task='multiclass')):
+    per-class F1 with 0 where undefined, mean over classes present in targets
+    or predictions."""
     tp = np.diag(cm).astype(np.float64)
     fp = cm.sum(0) - tp
     fn = cm.sum(1) - tp
     denom = 2 * tp + fp + fn
     f1 = np.where(denom > 0, 2 * tp / np.maximum(denom, 1e-12), 0.0)
-    return float(f1.mean())
+    present = _present_classes(cm)
+    return float(f1[present].mean()) if present.any() else float("nan")
 
 
 def macro_accuracy(cm: np.ndarray) -> float:
     """torchmetrics Accuracy(average='macro', task='multiclass'): mean of per-class
-    recall, counting classes with zero support as 0."""
+    recall over classes present in targets or predictions."""
     tp = np.diag(cm).astype(np.float64)
     support = cm.sum(1)
     recall = np.where(support > 0, tp / np.maximum(support, 1e-12), 0.0)
-    return float(recall.mean())
+    present = _present_classes(cm)
+    return float(recall[present].mean()) if present.any() else float("nan")
 
 
 def macro_auroc(scores: np.ndarray, labels: np.ndarray, num_classes: int) -> float:
@@ -163,15 +174,24 @@ class SegMetrics:
     _hd: List[float] = field(default_factory=list)
 
     def update(self, pred_masks: jax.Array, targets: jax.Array) -> None:
-        p = np.array(pred_masks)  # copy: device arrays view as read-only
-        t = np.asarray(targets)
+        # host-side numpy throughout: these are trivial per-sample sums, and
+        # bouncing (N,224,224) arrays back to the device costs more than the math
+        p = np.array(pred_masks, np.float64)  # copy: device arrays are read-only
+        t = np.asarray(targets, np.float64)
         if self.empty_pred_hack:
             for i in range(p.shape[0]):
                 if not p[i].any():
                     flat_idx = np.unravel_index(0, p[i].shape)
                     p[i][flat_idx] = 1
-        self._dice.append(np.asarray(dice_score(jnp.asarray(p), jnp.asarray(t))))
-        self._iou.append(np.asarray(iou_score(jnp.asarray(p), jnp.asarray(t))))
+        pf = p.reshape(p.shape[0], -1)
+        tf = t.reshape(t.shape[0], -1)
+        inter = (pf * tf).sum(1)
+        psum, tsum = pf.sum(1), tf.sum(1)
+        denom = psum + tsum
+        union = denom - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            self._dice.append(np.where(denom > 0, 2 * inter / denom, np.nan))
+            self._iou.append(np.where(union > 0, inter / union, np.nan))
         if self.compute_hausdorff:
             for i in range(p.shape[0]):
                 self._hd.append(hausdorff_distance(p[i], t[i]))

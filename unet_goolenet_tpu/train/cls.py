@@ -66,17 +66,20 @@ def make_cls_train_step(
     def train_step(state: TrainState, imgs, labels, se_out, rng):
         params, stats, opt_state = state
         total = jnp.float32(0.0)
+        # ROI_main.py:207-225: tempPred starts as the .long()-cast seg logits and
+        # is re-sigmoided each later pass while imgs compound
+        temp = jax.lax.stop_gradient(se_out)
+        if long_cast_quirk:
+            temp = jnp.trunc(temp)  # the reference's .long() round-trip
         cur_imgs = imgs
         for i in range(n_refine):
             if i > 0:
-                temp = se_out
-                if long_cast_quirk:
-                    temp = jnp.trunc(temp)  # the reference's .long() round-trip
-                p = jax.nn.sigmoid(jax.lax.stop_gradient(temp))
+                temp = jax.nn.sigmoid(temp)
                 conf = jnp.mean(
-                    jnp.abs(0.5 - p) * 2.0, axis=tuple(range(1, p.ndim)), keepdims=True
+                    jnp.abs(0.5 - temp) * 2.0,
+                    axis=tuple(range(1, temp.ndim)), keepdims=True,
                 )
-                cur_imgs = imgs + p * conf
+                cur_imgs = cur_imgs + temp * conf
             rng, sub = jax.random.split(rng)
             params, stats, opt_state, loss = one_pass(
                 params, stats, opt_state, cur_imgs, labels, sub

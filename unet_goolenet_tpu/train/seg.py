@@ -58,20 +58,21 @@ def make_seg_train_step(
     def train_step(state: TrainState, imgs: jax.Array, labels: jax.Array):
         params, stats, opt_state = state
         total = jnp.float32(0.0)
-        out0 = None
-        cur_imgs = imgs
+        temp = None  # the reference's tempPred: set from pass 0, re-sigmoided and
+        cur_imgs = imgs  # compounded onto the (mutated) imgs every later pass
         for i in range(n_refine):
             if i > 0:
-                p = jax.nn.sigmoid(jax.lax.stop_gradient(out0))
+                temp = jax.nn.sigmoid(temp)  # main.py:164 — re-applied each pass
                 conf = jnp.mean(
-                    jnp.abs(0.5 - p) * 2.0, axis=tuple(range(1, p.ndim)), keepdims=True
+                    jnp.abs(0.5 - temp) * 2.0,
+                    axis=tuple(range(1, temp.ndim)), keepdims=True,
                 )
-                cur_imgs = imgs + p * conf
+                cur_imgs = cur_imgs + temp * conf  # main.py:175: imgs compound
             params, stats, opt_state, loss, out = one_pass(
                 params, stats, opt_state, cur_imgs, labels
             )
             if i == 0:
-                out0 = out
+                temp = jax.lax.stop_gradient(out)  # main.py:162 detach
             total = total + loss
         metrics = {"loss": total / n_refine, "seg_loss": total}
         return TrainState(params, stats, opt_state), metrics
