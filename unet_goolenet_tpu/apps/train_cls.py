@@ -52,6 +52,10 @@ def parse_args(argv=None):
                    help="augment ROI crops on device (flips/rot/blur/jitter)")
     p.add_argument("--aux-weight", type=float, default=0.0,
                    help=">0 enables GoogLeNet aux heads + paper-style aux CE loss")
+    p.add_argument("--device-epoch", action="store_true",
+                   help="fully device-resident training: stage the wavelet images "
+                        "once; each epoch runs frozen-UNet ROI extraction, crop "
+                        "augmentation, and ALL train steps as compiled programs")
     return p.parse_args(argv)
 
 
@@ -109,6 +113,27 @@ def main(argv=None):
         donate_argnums=0)
     eval_step = jax.jit(make_cls_eval_step(model))
 
+    epoch_runner = None
+    staged = None
+    if args.device_epoch:
+        from unet_goolenet_tpu.train.epoch import make_cls_epoch_runner
+
+        all_imgs = np.stack([train_ds[i]["image"] for i in range(len(train_ds))])
+        all_labels = np.asarray(
+            [train_ds[i]["cl_label"] for i in range(len(train_ds))], np.int32)
+        staged = (jnp.asarray(all_imgs), jnp.asarray(all_labels))
+        epoch_runner = make_cls_epoch_runner(
+            make_cls_train_step(model, tx, aux_weight=args.aux_weight),
+            args.batch_size)
+
+        def run_device_epoch(state, key):
+            imgs, labels = staged
+            crops, se_out = extract(imgs)
+            if crop_augment is not None:
+                key, akey = jax.random.split(key)
+                crops = crop_augment(akey, crops)
+            return epoch_runner(state, crops, labels, se_out, key)
+
     plateau = optim.plateau_init(args.lr)
     stopper = optim.EarlyStopper(patience=300, lr_threshold=args.lr, extension=20)
     best_val_loss = float("inf")
@@ -118,18 +143,23 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         optim.set_learning_rate(state.opt_state, plateau.lr)
-        train_losses = []
-        for batch in train_loader:
-            imgs = jnp.asarray(batch["image"])
-            crops, se_out = extract(imgs)
+        if args.device_epoch:
             rng, sub = jax.random.split(rng)
-            if crop_augment is not None:
-                rng, asub = jax.random.split(rng)
-                crops = crop_augment(asub, crops)
-            state, metrics = train_step(
-                state, crops, jnp.asarray(batch["cl_label"]), se_out, sub)
-            train_losses.append(metrics["loss"])
-        train_loss = float(jnp.mean(jnp.stack(train_losses)))
+            state, loss = run_device_epoch(state, sub)
+            train_loss = float(loss)
+        else:
+            train_losses = []
+            for batch in train_loader:
+                imgs = jnp.asarray(batch["image"])
+                crops, se_out = extract(imgs)
+                rng, sub = jax.random.split(rng)
+                if crop_augment is not None:
+                    rng, asub = jax.random.split(rng)
+                    crops = crop_augment(asub, crops)
+                state, metrics = train_step(
+                    state, crops, jnp.asarray(batch["cl_label"]), se_out, sub)
+                train_losses.append(metrics["loss"])
+            train_loss = float(jnp.mean(jnp.stack(train_losses)))
 
         cls_metrics = ClsMetrics(num_classes=args.num_classes)
         val_losses = []

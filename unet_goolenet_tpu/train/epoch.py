@@ -20,6 +20,38 @@ import jax.numpy as jnp
 from unet_goolenet_tpu.train.seg import TrainState
 
 
+def make_cls_epoch_runner(train_step: Callable, batch_size: int) -> Callable:
+    """Stage-2 twin of make_epoch_runner: scans the cls train step over shuffled
+    (crops, labels, se_out) triples with a per-step dropout rng.
+
+    Combined with the on-device frozen-UNet ROI extraction and device
+    augmentation, the entire stage-2 epoch is one compiled program — the
+    polar opposite of the reference, which ran the UNet per-item inside
+    Dataset.__getitem__ (ROI_main.py:142-162)."""
+
+    @jax.jit
+    def run_epoch(state: TrainState, crops: jax.Array, labels: jax.Array,
+                  se_out: jax.Array, key: jax.Array) -> Tuple[TrainState, jax.Array]:
+        m = crops.shape[0]
+        n_batches = m // batch_size
+        skey, rkey = jax.random.split(key)
+        perm = jax.random.permutation(skey, m)[: n_batches * batch_size]
+        bc = crops[perm].reshape((n_batches, batch_size) + crops.shape[1:])
+        bl = labels[perm].reshape((n_batches, batch_size))
+        bs = se_out[perm].reshape((n_batches, batch_size) + se_out.shape[1:])
+        rngs = jax.random.split(rkey, n_batches)
+
+        def body(state, batch):
+            c, l, s, r = batch
+            state, metrics = train_step(state, c, l, s, r)
+            return state, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, (bc, bl, bs, rngs))
+        return state, jnp.mean(losses)
+
+    return run_epoch
+
+
 def make_epoch_runner(train_step: Callable, batch_size: int) -> Callable:
     """Returns epoch(state, imgs, labels, key) -> (state, mean_loss).
 
