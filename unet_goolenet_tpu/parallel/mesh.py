@@ -97,6 +97,23 @@ def make_tp_dp_seg_train_step(model, tx, mesh: Mesh, *, loss_fn=None, n_refine=2
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_sharded_cls_train_step(model, tx, mesh: Mesh, *, n_refine=2):
+    """Data-parallel stage-2 train step (分类/ROI_main.py:198-241 semantics via
+    train.cls.make_cls_train_step): imgs/labels/se_out sharded over 'data', state
+    and rng replicated; XLA SPMD emits the gradient all-reduce."""
+    from unet_goolenet_tpu.train.cls import make_cls_train_step
+
+    step = make_cls_train_step(model, tx, n_refine=n_refine)
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(rep, data, data, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
 def make_sharded_pipeline(pipeline, mesh: Mesh):
     """Shard the fused two-stage inference over 'data': returns a callable
     (gray (N,H,W)) -> outputs, with N divided across the mesh."""
