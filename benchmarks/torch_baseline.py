@@ -291,6 +291,184 @@ def run_e2e_baseline(
     return n_images / dt
 
 
+# ----------------------------------------------------- reference-named forwards
+#
+# Torch forwards that consume a REFERENCE-NAMED state dict (the exact parameter
+# names torch emits for 分割/nets/basicUnet.py:369-437 / tasks.py:149-231 and the
+# torchvision googlenet under 分类/ROI_main.py:86-95's 'googlenet.' prefix).
+# These are the independent oracle for model-forward parity tests: the same state
+# dict goes through (a) these, (b) models.convert -> flax apply, and (c) the
+# pipeline engine; logits must agree. Written from the reference semantics, NOT
+# from the flax code.
+
+
+def _t(a) -> torch.Tensor:
+    return torch.from_numpy(np.asarray(a))
+
+
+def _sd_cbn(sd: Dict, name: str, x: torch.Tensor, *, pad: int = 1,
+            eps: float = 1e-5) -> torch.Tensor:
+    """ConvBatchNorm (basicUnet.py:25-40): conv3x3(p1) + BN + ReLU, eval mode."""
+    x = F.conv2d(x, _t(sd[f"{name}.conv.weight"]), _t(sd[f"{name}.conv.bias"]),
+                 padding=pad)
+    x = F.batch_norm(x, _t(sd[f"{name}.norm.running_mean"]),
+                     _t(sd[f"{name}.norm.running_var"]),
+                     _t(sd[f"{name}.norm.weight"]), _t(sd[f"{name}.norm.bias"]),
+                     training=False, eps=eps)
+    return F.relu(x)
+
+
+def _sd_attn(sd: Dict, prefix: str, x: torch.Tensor, m: torch.Tensor = None,
+             *, dim: int = 512, heads: int = 8) -> torch.Tensor:
+    """Self-attention (m is None; fused to_qkv) or cross-attention (q from x,
+    k/v from m; separate to_q/to_k/to_v). Scale is dim**-0.5 — the reference's
+    quirk (tasks.py:63,126), not dim_head**-0.5."""
+    if m is None:
+        qkv = x @ _t(sd[f"{prefix}.to_qkv.weight"]).T
+        q, k, v = qkv.chunk(3, -1)
+    else:
+        q = x @ _t(sd[f"{prefix}.to_q.weight"]).T
+        k = m @ _t(sd[f"{prefix}.to_k.weight"]).T
+        v = m @ _t(sd[f"{prefix}.to_v.weight"]).T
+    b, n, hd = q.shape
+    d = hd // heads
+    q, k, v = (t.view(b, -1, heads, d).transpose(1, 2) for t in (q, k, v))
+    a = torch.softmax(q @ k.transpose(-1, -2) * dim ** -0.5, -1)
+    o = (a @ v).transpose(1, 2).reshape(b, n, hd)
+    return o @ _t(sd[f"{prefix}.to_out.0.weight"]).T + _t(sd[f"{prefix}.to_out.0.bias"])
+
+
+def _sd_ln(sd: Dict, name: str, x: torch.Tensor) -> torch.Tensor:
+    return F.layer_norm(x, (x.shape[-1],), _t(sd[f"{name}.weight"]),
+                        _t(sd[f"{name}.bias"]), eps=1e-5)
+
+
+def _sd_feed(sd: Dict, prefix: str, x: torch.Tensor) -> torch.Tensor:
+    """FeedForward (tasks.py:46-57): Linear -> exact GELU -> Linear."""
+    h = x @ _t(sd[f"{prefix}.net.0.weight"]).T + _t(sd[f"{prefix}.net.0.bias"])
+    h = F.gelu(h)
+    return h @ _t(sd[f"{prefix}.net.3.weight"]).T + _t(sd[f"{prefix}.net.3.bias"])
+
+
+def _sd_transformer(sd: Dict, x5: torch.Tensor, *, dim: int = 512) -> torch.Tensor:
+    """TransformerDecoder bottleneck (tasks.py:188-231), returning the seg stream.
+    Both cross-attention directions share cross_attention_cl (tasks.py:174-175)."""
+    def proj(stream):
+        t = F.conv2d(x5, _t(sd[f"task2.conv_{stream}.0.weight"]), None, padding=1)
+        t = F.batch_norm(t, _t(sd[f"task2.conv_{stream}.1.running_mean"]),
+                         _t(sd[f"task2.conv_{stream}.1.running_var"]),
+                         _t(sd[f"task2.conv_{stream}.1.weight"]),
+                         _t(sd[f"task2.conv_{stream}.1.bias"]),
+                         training=False, eps=1e-5)
+        t = F.relu(t)
+        return t + _t(sd[f"task2.pos_embedding_decoder_{stream}"])
+
+    b, c, hh, ww = x5.shape
+    x = proj("cl").flatten(2).transpose(1, 2)
+    m = proj("seg").flatten(2).transpose(1, 2)
+    lp = "task2.layers.0"
+    x_n = _sd_ln(sd, f"{lp}.x_att_norm", x)
+    m_n = _sd_ln(sd, f"{lp}.m_att_norm", m)
+    x_att = _sd_attn(sd, f"{lp}.attention1", x_n, dim=dim)
+    m_att = _sd_attn(sd, f"{lp}.attention2", m_n, dim=dim)
+    x_cross = _sd_attn(sd, f"{lp}.cross_attention_cl", x_n, m_n, dim=dim)
+    m_cross = _sd_attn(sd, f"{lp}.cross_attention_cl", m_n, x_n, dim=dim)
+    x_mid = x_att + x_cross + x
+    m_mid = m_att + m_cross + m
+    m_out = m_mid + _sd_feed(sd, f"{lp}.m_feed",
+                             _sd_ln(sd, f"{lp}.m_mlp_norm", m_mid))
+    # cl stream's MLP is computed but only the seg stream feeds the decoder
+    _ = x_mid + _sd_feed(sd, f"{lp}.x_feed", _sd_ln(sd, f"{lp}.x_mlp_norm", x_mid))
+    return m_out.transpose(1, 2).reshape(b, dim, hh, ww)
+
+
+def _sd_coord_att3(sd: Dict, prefix: str, e: torch.Tensor,
+                   d: torch.Tensor) -> torch.Tensor:
+    """CoordAtt3 gate (basicUnet.py:201-231): e=encoder skip, d=decoder up."""
+    e1 = _sd_cbn(sd, f"{prefix}.conv1_e.0", e)
+    avg = e1.mean((2, 3), keepdim=True)
+    mx = e1.amax((2, 3), keepdim=True)
+    s = torch.sigmoid(F.conv2d(
+        F.relu(F.conv2d(avg, _t(sd[f"{prefix}.fc_avg.weight"]),
+                        _t(sd[f"{prefix}.fc_avg.bias"]))) +
+        F.relu(F.conv2d(mx, _t(sd[f"{prefix}.fc_max.weight"]),
+                        _t(sd[f"{prefix}.fc_max.bias"]))),
+        _t(sd[f"{prefix}.fc_avg_max_sfot.weight"]),
+        _t(sd[f"{prefix}.fc_avg_max_sfot.bias"])))
+    d2 = _sd_cbn(sd, f"{prefix}.conv2_e.0", d)
+    return e1 + s * d2 + d2
+
+
+def unet_forward_ref(sd: Dict, x: torch.Tensor) -> torch.Tensor:
+    """UNetTaskAligWeight forward (basicUnet.py:369-437) from a reference-named
+    state dict. x: (N, 3, H, W); returns (N, 1, H, W) seg logits."""
+    x1 = _sd_cbn(sd, "inc", x)
+    skips = [x1]
+    h = x1
+    for i in range(1, 5):
+        h = F.max_pool2d(h, 2)
+        h = _sd_cbn(sd, f"down{i}.nConvs.0", h)
+        h = _sd_cbn(sd, f"down{i}.nConvs.1", h)
+        skips.append(h)
+    h = _sd_transformer(sd, skips[4])
+    for i, skip in zip((4, 3, 2, 1), (skips[3], skips[2], skips[1], skips[0])):
+        up = F.conv_transpose2d(h, _t(sd[f"up{i}.up.weight"]),
+                                _t(sd[f"up{i}.up.bias"]), stride=2)
+        gated = _sd_coord_att3(sd, f"up{i}.cca", skip, up)
+        h = torch.cat([up, gated], 1)
+        h = _sd_cbn(sd, f"up{i}.nConvs.0", h)
+        h = _sd_cbn(sd, f"up{i}.nConvs.1", h)
+    return F.conv2d(h, _t(sd["outc.weight"]), _t(sd["outc.bias"]))
+
+
+def _sd_basic(sd: Dict, name: str, x: torch.Tensor, *, stride: int = 1,
+              pad: int = 0) -> torch.Tensor:
+    """torchvision BasicConv2d: conv(bias=False) + BN(eps=1e-3) + ReLU."""
+    x = F.conv2d(x, _t(sd[f"{name}.conv.weight"]), None, stride=stride, padding=pad)
+    x = F.batch_norm(x, _t(sd[f"{name}.bn.running_mean"]),
+                     _t(sd[f"{name}.bn.running_var"]),
+                     _t(sd[f"{name}.bn.weight"]), _t(sd[f"{name}.bn.bias"]),
+                     training=False, eps=1e-3)
+    return F.relu(x)
+
+
+def _sd_inception(sd: Dict, name: str, x: torch.Tensor) -> torch.Tensor:
+    b1 = _sd_basic(sd, f"{name}.branch1", x)
+    b2 = _sd_basic(sd, f"{name}.branch2.1",
+                   _sd_basic(sd, f"{name}.branch2.0", x), pad=1)
+    b3 = _sd_basic(sd, f"{name}.branch3.1",
+                   _sd_basic(sd, f"{name}.branch3.0", x), pad=1)  # 3x3 quirk
+    b4 = _sd_basic(sd, f"{name}.branch4.1",
+                   F.max_pool2d(x, 3, 1, 1, ceil_mode=True))
+    return torch.cat([b1, b2, b3, b4], 1)
+
+
+def gnet_forward_ref(sd: Dict, x: torch.Tensor,
+                     *, prefix: str = "googlenet.") -> torch.Tensor:
+    """torchvision GoogLeNet forward (transform_input=True, aux heads stripped)
+    from a reference-named state dict. x: (N, 3, H, W); returns (N, classes)."""
+    p = prefix.rstrip(".")
+    r = x[:, 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
+    g = x[:, 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
+    b = x[:, 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
+    x = torch.cat([r, g, b], 1)
+    x = _sd_basic(sd, f"{p}.conv1", x, stride=2, pad=3)
+    x = F.max_pool2d(x, 3, 2, ceil_mode=True)
+    x = _sd_basic(sd, f"{p}.conv2", x)
+    x = _sd_basic(sd, f"{p}.conv3", x, pad=1)
+    x = F.max_pool2d(x, 3, 2, ceil_mode=True)
+    x = _sd_inception(sd, f"{p}.inception3a", x)
+    x = _sd_inception(sd, f"{p}.inception3b", x)
+    x = F.max_pool2d(x, 3, 2, ceil_mode=True)
+    for nm in ("4a", "4b", "4c", "4d", "4e"):
+        x = _sd_inception(sd, f"{p}.inception{nm}", x)
+    x = F.max_pool2d(x, 2, 2, ceil_mode=True)
+    x = _sd_inception(sd, f"{p}.inception5a", x)
+    x = _sd_inception(sd, f"{p}.inception5b", x)
+    x = x.mean((2, 3))
+    return x @ _t(sd[f"{p}.fc.weight"]).T + _t(sd[f"{p}.fc.bias"])
+
+
 if __name__ == "__main__":
     ips = run_e2e_baseline()
     print(f"torch-CPU reference-style e2e: {ips:.3f} images/sec")
