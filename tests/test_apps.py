@@ -88,3 +88,14 @@ def test_full_cli_chain(data_root, tmp_path):
     grades = [int(l.split()[1]) for l in lines]
     assert names == sorted(names)
     assert all(0 <= g < 6 for g in grades)
+
+    # the north-star fused-from-gray path (--device-preprocess) must grade the
+    # same inputs identically to the host-preprocess path above
+    out_dev = str(tmp_path / "e2e_dev")
+    infer_e2e.main([
+        "--image-dir", str(data_root / "test"), "--unet-checkpoint", seg_ckpt,
+        "--gnet-checkpoint", cls_ckpt, "--out-dir", out_dev,
+        "--img-size", str(S), "--batch-size", "2", "--device-preprocess",
+    ])
+    dev_lines = open(os.path.join(out_dev, "result.txt")).read().strip().splitlines()
+    assert dev_lines == lines

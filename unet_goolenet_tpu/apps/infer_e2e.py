@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=6)
     p.add_argument("--bf16", action="store_true", help="bf16 streaming inference")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="run wavelet+resize on device too: the full fused "
+                        "gray->wavelet->resize->UNet->bbox->crop->GoogLeNet graph "
+                        "(分类/test.py:122-134 as ONE XLA computation per batch)")
     return p.parse_args(argv)
 
 
@@ -44,6 +48,43 @@ def numeric_stem(name: str) -> int:
         return int(stem)
     except ValueError:
         return 0
+
+
+def _run_device_preprocess(pipe, image_dir: str, batch_size: int,
+                           records: list) -> int:
+    """The north-star fused-from-gray path: raw grayscale images are read at
+    NATIVE resolution and the whole 分类/test.py:122-134 flow (wavelet at native
+    res -> resize -> UNet -> bbox -> crop -> GoogLeNet) runs as one jitted graph.
+
+    jit specialises on input shape, so images are grouped by exact (H, W) —
+    each distinct raw size compiles once — and the final partial chunk of a
+    group is padded to the full batch by repeating its last image (padding to a
+    bucket size instead would change wavelet/resize semantics). Returns the
+    number of images graded."""
+    from unet_goolenet_tpu.data.datasets import _imread
+
+    names = sorted(os.listdir(image_dir))
+    groups: dict = {}
+    for name in names:
+        gray = _imread(os.path.join(image_dir, name), grayscale=True)
+        groups.setdefault(gray.shape, []).append((name, gray))
+
+    n = 0
+    for shape in sorted(groups):
+        items = groups[shape]
+        for i in range(0, len(items), batch_size):
+            chunk = items[i:i + batch_size]
+            k = len(chunk)
+            batch = np.stack([g for _, g in chunk]).astype(np.float32)
+            if k < batch_size:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], batch_size - k, axis=0)])
+            grades = np.asarray(pipe.infer_grades(jnp.asarray(batch)))[:k]
+            n += k
+            for (name, _), grade in zip(chunk, grades):
+                stem = name.replace(".png", "")
+                records.append(f"{stem} {int(grade)}")
+    return n
 
 
 def main(argv=None):
@@ -67,19 +108,21 @@ def main(argv=None):
         gnet, {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
         img_size=args.img_size, dtype=dtype)
 
-    ds = ImageFolderDataset(args.image_dir, img_size=args.img_size, wavelet=True)
-    loader = DataLoader(ds, args.batch_size)
-
     records = []
     t0 = time.time()
     n = 0
-    for batch in loader:
-        out = pipe.infer_from_rgb(jnp.asarray(batch["image"]))
-        grades = np.asarray(out["grades"])
-        n += len(grades)
-        for name, grade in zip(batch["name"], grades):
-            stem = name.replace(".png", "")
-            records.append(f"{stem} {int(grade)}")
+    if args.device_preprocess:
+        n = _run_device_preprocess(pipe, args.image_dir, args.batch_size, records)
+    else:
+        ds = ImageFolderDataset(args.image_dir, img_size=args.img_size, wavelet=True)
+        loader = DataLoader(ds, args.batch_size)
+        for batch in loader:
+            out = pipe.infer_from_rgb(jnp.asarray(batch["image"]))
+            grades = np.asarray(out["grades"])
+            n += len(grades)
+            for name, grade in zip(batch["name"], grades):
+                stem = name.replace(".png", "")
+                records.append(f"{stem} {int(grade)}")
     dt = time.time() - t0
 
     records.sort(key=lambda r: numeric_stem(r.split()[0]))
