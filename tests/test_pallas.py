@@ -92,6 +92,25 @@ class TestDeconv2x2:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-3, atol=1e-3, err_msg=name)
 
+    def test_gradients_multitile(self):
+        # h > row tile and batch > 1 so the dw/db accumulator is revisited
+        # across several sequential grid steps
+        x = rand(2, 8, 12, 8)
+        w = rand(2, 2, 8, 4)
+        b = rand(4)
+
+        def f_p(x, w, b):
+            return jnp.sum(jnp.sin(pk.conv_transpose2x2_pallas(x, w, b)))
+
+        def f_x(x, w, b):
+            return jnp.sum(jnp.sin(ops.conv_transpose2x2(x, w, b)))
+
+        gp = jax.grad(f_p, argnums=(0, 1, 2))(x, w, b)
+        gx = jax.grad(f_x, argnums=(0, 1, 2))(x, w, b)
+        for a, b_, name in zip(gp, gx, ("dx", "dw", "db")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-3, err_msg=name)
+
 
 class TestMaxPool:
     def test_forward(self):
@@ -119,3 +138,30 @@ class TestMaxPool:
         x = rand(1, 8, 8, 4)
         y = jax.jit(pk.max_pool2x2_pallas)(x)
         assert y.shape == (1, 4, 4, 4)
+
+    def test_gradient_ties_route_to_first(self):
+        # constant / duplicated windows: grads must land on the FIRST max in
+        # row-major window order, exactly like XLA select-and-scatter and torch
+        x = jnp.asarray(
+            RNG.integers(0, 3, size=(2, 8, 8, 4)).astype(np.float32))
+        wgt = rand(2, 4, 4, 4)
+
+        def f_p(x):
+            return jnp.sum(pk.max_pool2x2_pallas(x) * wgt)
+
+        def f_x(x):
+            return jnp.sum(ops.max_pool2d(x, 2) * wgt)
+
+        np.testing.assert_array_equal(
+            np.asarray(jax.grad(f_p)(x)), np.asarray(jax.grad(f_x)(x)))
+
+    def test_gradient_ties_match_torch(self):
+        import torch
+
+        x_np = RNG.integers(0, 2, size=(1, 6, 6, 3)).astype(np.float32)
+        g = jax.grad(lambda t: jnp.sum(pk.max_pool2x2_pallas(t)))(
+            jnp.asarray(x_np))
+        xt = torch.tensor(x_np.transpose(0, 3, 1, 2), requires_grad=True)
+        torch.nn.functional.max_pool2d(xt, 2).sum().backward()
+        np.testing.assert_array_equal(
+            np.asarray(g), xt.grad.numpy().transpose(0, 2, 3, 1))

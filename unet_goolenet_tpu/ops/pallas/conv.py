@@ -273,19 +273,99 @@ def _deconv_fwd(x, w, b):
     return _deconv_fwd_impl(x, w, b), (x, w)
 
 
+def _deconv_tile(h: int, w: int, cin: int, cout: int, itemsize: int) -> Optional[int]:
+    """Row tile for the deconv backward kernels: double-buffered gy (2th x 2w)
+    and x blocks, the (4Cout, Cin) weight, and the f32 (Cin, 4Cout) accumulator
+    must fit the VMEM budget (lane dims padded to 128)."""
+    cin_p = -(-cin // 128) * 128
+    cout_p = -(-cout // 128) * 128
+
+    def bytes_for(th):
+        g = 2 * (2 * th) * (2 * w) * cout_p * itemsize
+        xb = 2 * th * w * cin_p * itemsize
+        wts = 4 * cout * cin_p * itemsize
+        out = 2 * th * w * max(cin_p, 4 * cout_p) * 4
+        acc = cin * 4 * cout_p * 4
+        return g + xb + wts + out + acc
+
+    return _row_tile(h, budget_bytes=bytes_for)
+
+
+def _inv_d2s(g, th, w, cout):
+    """(2th, 2w, Cout) -> (th*w, 4*Cout): inverse of the forward's
+    depth-to-space, cell layout (kh, kw, Cout) matching wmat's column order."""
+    return g.reshape(th, 2, w, 2, cout).transpose(0, 2, 1, 3, 4).reshape(
+        th * w, 4 * cout)
+
+
+def _deconv_dx_kernel(g_ref, wt_ref, out_ref, *, th, w, cin, cout):
+    g = _inv_d2s(g_ref[0], th, w, cout)
+    dx = jnp.dot(g, wt_ref[...], preferred_element_type=jnp.float32)
+    out_ref[0] = dx.reshape(th, w, cin).astype(out_ref.dtype)
+
+
+def _deconv_dwdb_kernel(x_ref, g_ref, dw_ref, db_ref, *, th, w, cin, cout):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    xv = x_ref[0].reshape(th * w, cin).astype(jnp.float32)
+    g = _inv_d2s(g_ref[0], th, w, cout).astype(jnp.float32)
+    dw_ref[...] += jnp.dot(xv.T, g, preferred_element_type=jnp.float32)
+    db_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+
+
 def _deconv_bwd(res, gy):
+    """Backward transposed-conv as Pallas kernels (BASELINE.json config 4):
+    dx = inverse-depth-to-space(gy) @ wmat.T (one MXU matmul per row tile);
+    dw/db accumulate across the sequential TPU grid (output revisiting)."""
     x, w = res
     n, h, wd, cin = x.shape
     cout = w.shape[-1]
-    # inverse depth-to-space: (N,2H,2W,Co) -> (N,H,W,4Co) gathered per 2x2 cell
-    g = gy.reshape(n, h, 2, wd, 2, cout).transpose(0, 1, 3, 2, 4, 5)
-    g = g.reshape(n, h, wd, 4 * cout).astype(jnp.float32)
-    wmat = w.transpose(2, 0, 1, 3).reshape(cin, 4 * cout).astype(jnp.float32)
-    dx = jnp.einsum("nhwk,ck->nhwc", g, wmat, preferred_element_type=jnp.float32)
-    dwmat = jnp.einsum("nhwc,nhwk->ck", x.astype(jnp.float32), g,
-                       preferred_element_type=jnp.float32)
+    th = _deconv_tile(h, wd, cin, cout, gy.dtype.itemsize) or h
+    wmat = w.transpose(2, 0, 1, 3).reshape(cin, 4 * cout)
+
+    gblock = pl.BlockSpec((1, 2 * th, 2 * wd, cout), lambda ni, i: (ni, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dx = pl.pallas_call(
+        functools.partial(_deconv_dx_kernel, th=th, w=wd, cin=cin, cout=cout),
+        grid=(n, h // th),
+        in_specs=[
+            gblock,
+            pl.BlockSpec((4 * cout, cin), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, wd, cin), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wd, cin), x.dtype),
+        interpret=_INTERPRET,
+    )(gy, wmat.T.astype(gy.dtype))
+
+    dwmat, db4 = pl.pallas_call(
+        functools.partial(_deconv_dwdb_kernel, th=th, w=wd, cin=cin, cout=cout),
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, wd, cin), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            gblock,
+        ],
+        out_specs=[
+            pl.BlockSpec((cin, 4 * cout), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * cout), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cin, 4 * cout), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * cout), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(x, gy)
     dw = dwmat.reshape(cin, 2, 2, cout).transpose(1, 2, 0, 3)
-    db = jnp.sum(gy.astype(jnp.float32), axis=(0, 1, 2))
+    db = db4.reshape(4, cout).sum(axis=0)
     return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(jnp.float32)
 
 
@@ -329,19 +409,18 @@ def _pool_fwd(x):
 
 
 def _pool_bwd(res, gy):
-    x, y = res
+    x, _ = res
     n, h, wd, c = x.shape
-    # route grads to the (first) max position in each window
-    y_up = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
-    g_up = jnp.repeat(jnp.repeat(gy, 2, axis=1), 2, axis=2)
-    is_max = (x == y_up)
-    # tie-break: normalise by count of maxima in the window (matches the
-    # subgradient convention closely enough for training; XLA's select-and-
-    # scatter picks the first — differences only occur on exact ties)
-    cnt = jnp.repeat(jnp.repeat(
-        jnp.sum(is_max.reshape(n, h // 2, 2, wd // 2, 2, c), axis=(2, 4)),
-        2, axis=1), 2, axis=2)
-    return (jnp.where(is_max, g_up / jnp.maximum(cnt, 1), 0.0).astype(x.dtype),)
+    # Route the gradient to the FIRST maximum in each window (row-major window
+    # order) — bit-matching torch's MaxPool2d backward and XLA's
+    # select-and-scatter tie-break, including on exact ties.
+    xw = x.reshape(n, h // 2, 2, wd // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xw = xw.reshape(n, h // 2, wd // 2, 4, c)
+    idx = jnp.argmax(xw, axis=3)  # argmax returns the first tied index
+    sel = jax.nn.one_hot(idx, 4, axis=3, dtype=gy.dtype)
+    gw = gy[:, :, :, None, :] * sel  # (n, h/2, w/2, 4, c)
+    gx = gw.reshape(n, h // 2, wd // 2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return (gx.reshape(n, h, wd, c).astype(x.dtype),)
 
 
 max_pool2x2_pallas.defvjp(_pool_fwd, _pool_bwd)
