@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from unet_goolenet_tpu.models import UNetTaskAligWeight
+from unet_goolenet_tpu.models import GoogLeNetClassifier, UNetTaskAligWeight
 from unet_goolenet_tpu.pipeline import engine
 
 KEY = jax.random.PRNGKey(0)
@@ -23,6 +23,44 @@ class TestEngine:
         got = engine.unet_forward(variables, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-3, atol=2e-4)
+
+    def test_gnet_matches_flax_apply(self):
+        gnet = GoogLeNetClassifier(num_classes=6)
+        x = jax.random.uniform(KEY, (2, 96, 96, 3))
+        variables = gnet.init({"params": KEY, "dropout": KEY}, x, train=False)
+        _, mut = gnet.apply(variables, x, train=True, mutable=["batch_stats"],
+                            rngs={"dropout": KEY})
+        variables = {"params": variables["params"],
+                     "batch_stats": mut["batch_stats"]}
+
+        ref = gnet.apply(variables, x, train=False)
+        got = engine.gnet_forward(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_pipeline_engine_grade_parity(self):
+        # the serving pipeline defaults to the folded engine; grades must match
+        # the flax-apply pipeline on the same inputs
+        from unet_goolenet_tpu.pipeline import TwoStagePipeline
+
+        unet = UNetTaskAligWeight(n_classes=1)
+        gnet = GoogLeNetClassifier(num_classes=6)
+        uv = unet.init({"params": KEY}, jnp.zeros((1, 32, 32, 3)), train=False)
+        gv = gnet.init({"params": KEY, "dropout": KEY},
+                       jnp.zeros((1, 32, 32, 3)), train=False)
+        gray = jax.random.uniform(jax.random.PRNGKey(3), (4, 48, 56), jnp.float32,
+                                  0.0, 255.0)
+        out_e = TwoStagePipeline(unet, uv, gnet, gv, img_size=32,
+                                 use_engine=True).infer_from_gray(gray)
+        out_f = TwoStagePipeline(unet, uv, gnet, gv, img_size=32,
+                                 use_engine=False).infer_from_gray(gray)
+        np.testing.assert_array_equal(np.asarray(out_e["grades"]),
+                                      np.asarray(out_f["grades"]))
+        np.testing.assert_array_equal(np.asarray(out_e["masks"]),
+                                      np.asarray(out_f["masks"]))
+        np.testing.assert_allclose(np.asarray(out_e["cls_logits"]),
+                                   np.asarray(out_f["cls_logits"]),
+                                   rtol=2e-3, atol=2e-3)
 
     def test_jittable_and_deterministic(self):
         model = UNetTaskAligWeight(n_classes=1)

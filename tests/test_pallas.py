@@ -65,6 +65,38 @@ class TestFusedConv3x3:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestFusedConvStack2:
+    def test_matches_xla_pair(self):
+        x = rand(2, 8, 12, 16)
+        w1 = rand(3, 3, 16, 32)
+        s1 = jnp.abs(rand(32)) + 0.5
+        b1 = rand(32)
+        w2 = rand(3, 3, 32, 16)
+        s2 = jnp.abs(rand(16)) + 0.5
+        b2 = rand(16)
+        got = pk.fused_convstack2(x, w1, s1, b1, w2, s2, b2)
+        mid = jax.nn.relu(ops.conv2d(x, w1, None, padding=1) * s1 + b1)
+        ref = jax.nn.relu(ops.conv2d(mid, w2, None, padding=1) * s2 + b2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_fallback_when_too_big(self):
+        # 64-channel 224^2-scale shapes exceed the whole-image VMEM budget ->
+        # must fall back to XLA and still be correct
+        x = rand(1, 16, 16, 8)
+        w1 = rand(3, 3, 8, 8)
+        w2 = rand(3, 3, 8, 8)
+        ones, zeros = jnp.ones(8), jnp.zeros(8)
+        got = pk.fused_convstack2_or_fallback(x, w1, ones, zeros, w2, ones, zeros)
+        mid = jax.nn.relu(ops.conv2d(x, w1, None, padding=1))
+        ref = jax.nn.relu(ops.conv2d(mid, w2, None, padding=1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        from unet_goolenet_tpu.ops.pallas.conv import _stack2_fits
+        assert not _stack2_fits(224, 224, 64, 64, 64, 4)
+        assert _stack2_fits(56, 56, 128, 256, 256, 2)
+
+
 class TestDeconv2x2:
     def test_forward_matches_xla(self):
         x = rand(2, 8, 12, 8)

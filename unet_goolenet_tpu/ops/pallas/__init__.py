@@ -6,19 +6,24 @@ hardware-independent.
 
 STATUS: forward + custom-VJP numerics verified against the XLA oracles in
 tests/test_pallas.py (interpreter) AND compiled/executed on the real v5e chip
-(nine-view formulation; VMEM-budgeted row tiles). Measured on-chip vs XLA at the
-UNet's shapes: parity at >=128 channels; XLA ~2.5x faster at the 64-channel
-224^2 level (the 128-lane padding wastes half the MXU for any matmul-form conv,
-and XLA's native conv handles it better). Production paths therefore default to
-XLA; the Pallas path is selected via `fused_conv3x3_or_fallback` or explicit
-calls, and is the substrate for future multi-layer-fusion work where XLA cannot
-follow (e.g. ConvStack kept resident in VMEM).
+(nine-view formulation; VMEM-budgeted row tiles). The transposed-conv backward
+(dx one matmul per row tile, dw/db revisited-accumulator) and the maxpool
+first-max backward are Pallas/exact-torch-parity too. Measured on-chip vs XLA
+at the UNet's shapes: single-conv parity at >=128 channels; XLA ~2.5x faster at
+the 64-channel 224^2 level (the 128-lane padding wastes half the MXU for any
+matmul-form conv, and XLA's native conv handles it better) -> single convs
+default to XLA. `fused_convstack2` goes where XLA cannot: a whole
+ConvBatchNorm PAIR in one VMEM residency (the intermediate never touches HBM),
+for the levels whose image fits VMEM; see benchmarks/pallas_stack_bench.py for
+the measured per-level dispatch decision.
 """
 
 from unet_goolenet_tpu.ops.pallas import conv as _conv_mod
 from unet_goolenet_tpu.ops.pallas.conv import (
     fused_conv3x3,
     fused_conv3x3_or_fallback,
+    fused_convstack2,
+    fused_convstack2_or_fallback,
     conv_transpose2x2_pallas,
     max_pool2x2_pallas,
 )
@@ -32,6 +37,8 @@ def interpret_mode(on: bool = True) -> None:
 __all__ = [
     "fused_conv3x3",
     "fused_conv3x3_or_fallback",
+    "fused_convstack2",
+    "fused_convstack2_or_fallback",
     "conv_transpose2x2_pallas",
     "max_pool2x2_pallas",
     "interpret_mode",

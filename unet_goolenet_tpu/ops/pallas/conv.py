@@ -226,6 +226,95 @@ def fused_conv3x3_or_fallback(x, w, scale, bias, relu=True):
     return fused_conv3x3(x, w, scale, bias, relu)
 
 
+# ------------------------------------------------------ fused ConvStack pair
+
+
+def _stack2_kernel(x_ref, w1_ref, sb1_ref, w2_ref, sb2_ref, out_ref, *, h, w,
+                   cin, cmid, cout):
+    """Both ConvBatchNorm blocks of a ConvStack (basicUnet.py:17-23) in one VMEM
+    residency: the (H+2, W+2) intermediate never touches HBM.
+
+    x_ref is the zero-padded image (1, H+2, W+2, Cin); taps are STATIC slices of
+    the loaded value (register ops — no ref-level DMA, so Mosaic alignment rules
+    don't bite). The intermediate is re-zero-padded in VMEM for the second conv.
+    """
+    xp = x_ref[0]
+
+    def conv9(src, w_ref, sb_ref, th, tw, ci, co):
+        acc = jnp.zeros((th * tw, co), jnp.float32)
+        for t in range(9):
+            dy, dx = t // 3, t % 3
+            v = jax.lax.slice(src, (dy, dx, 0), (dy + th, dx + tw, ci))
+            acc += jnp.dot(v.reshape(th * tw, ci), w_ref[dy, dx],
+                           preferred_element_type=jnp.float32)
+        y = acc * sb_ref[0][None, :] + sb_ref[1][None, :]
+        return jnp.maximum(y, 0.0).reshape(th, tw, co)
+
+    y1 = conv9(xp, w1_ref, sb1_ref, h, w, cin, cmid)
+    y1p = jnp.pad(y1.astype(x_ref.dtype), ((1, 1), (1, 1), (0, 0)))
+    out_ref[0] = conv9(y1p, w2_ref, sb2_ref, h, w, cmid, cout).astype(out_ref.dtype)
+
+
+def _stack2_fits(h: int, w: int, cin: int, cmid: int, cout: int,
+                 itemsize: int) -> bool:
+    """Whole-image VMEM budget: padded input (double-buffered), intermediate,
+    f32 accumulator, output, weights."""
+    pad = lambda c: -(-c // 128) * 128
+    hp, wp = h + 2, w + 2
+    need = (
+        2 * hp * wp * pad(cin) * itemsize          # input block, double-buffered
+        + hp * wp * pad(cmid) * itemsize           # intermediate (padded)
+        + h * w * pad(max(cmid, cout)) * 4         # f32 accumulator
+        + 2 * h * w * pad(cout) * itemsize         # output, double-buffered
+        + 9 * (pad(cin) * pad(cmid) + pad(cmid) * pad(cout)) * itemsize
+    )
+    return need < 12_000_000
+
+
+def fused_convstack2(x, w1, scale1, bias1, w2, scale2, bias2):
+    """y = CBN2(CBN1(x)) — a whole ConvStack(n=2) with folded-BN epilogues in ONE
+    Pallas kernel, one HBM round trip (the UNet hot block, basicUnet.py:25-52).
+    Shapes must pass `stack2_fits`; dispatch via fused_convstack2_or_fallback."""
+    n, h, wd, cin = x.shape
+    cmid, cout = w1.shape[-1], w2.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    sb1 = jnp.stack([scale1.astype(jnp.float32), bias1.astype(jnp.float32)])
+    sb2 = jnp.stack([scale2.astype(jnp.float32), bias2.astype(jnp.float32)])
+    kernel = functools.partial(_stack2_kernel, h=h, w=wd, cin=cin, cmid=cmid,
+                               cout=cout)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h + 2, wd + 2, cin), lambda ni: (ni, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cin, cmid), lambda ni: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cmid), lambda ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cmid, cout), lambda ni: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cout), lambda ni: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wd, cout), lambda ni: (ni, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wd, cout), x.dtype),
+        interpret=_INTERPRET,
+    )(xp, w1.astype(x.dtype), sb1, w2.astype(x.dtype), sb2)
+
+
+def fused_convstack2_or_fallback(x, w1, scale1, bias1, w2, scale2, bias2):
+    """Pallas pair fusion when the whole image fits VMEM, XLA otherwise."""
+    n, h, wd, cin = x.shape
+    cmid, cout = w1.shape[-1], w2.shape[-1]
+    if (w1.shape[:2] == (3, 3) and w2.shape[:2] == (3, 3)
+            and _stack2_fits(h, wd, cin, cmid, cout, x.dtype.itemsize)):
+        return fused_convstack2(x, w1, scale1, bias1, w2, scale2, bias2)
+    y = xla_conv.conv2d(x, w1, None, stride=1, padding=1)
+    y = jax.nn.relu(y * scale1 + bias1).astype(x.dtype)
+    y = xla_conv.conv2d(y, w2, None, stride=1, padding=1)
+    return jax.nn.relu(y * scale2 + bias2).astype(x.dtype)
+
+
 # ------------------------------------------------------- transposed conv 2x2/s2
 
 

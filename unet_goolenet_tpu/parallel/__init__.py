@@ -7,6 +7,7 @@ from unet_goolenet_tpu.parallel.mesh import (
     make_sharded_seg_train_step,
     make_tp_dp_seg_train_step,
     make_sharded_cls_train_step,
+    make_tp_dp_cls_train_step,
     make_sharded_pipeline,
 )
 from unet_goolenet_tpu.parallel.tp import make_param_shardings, shard_params
@@ -18,6 +19,7 @@ __all__ = [
     "make_sharded_seg_train_step",
     "make_tp_dp_seg_train_step",
     "make_sharded_cls_train_step",
+    "make_tp_dp_cls_train_step",
     "make_sharded_pipeline",
     "make_param_shardings",
     "shard_params",

@@ -114,6 +114,17 @@ def make_sharded_cls_train_step(model, tx, mesh: Mesh, *, n_refine=2):
     )
 
 
+def make_tp_dp_cls_train_step(model, tx, mesh: Mesh, *, n_refine=2):
+    """tp+dp stage-2 train step: batch over 'data', GoogLeNet wide-tail branch
+    convs column-sharded over 'model' by parallel.tp's rules. Same placement
+    contract as make_tp_dp_seg_train_step (params sharded by the caller with
+    tp.shard_params, opt_state built after sharding)."""
+    from unet_goolenet_tpu.train.cls import make_cls_train_step
+
+    step = make_cls_train_step(model, tx, n_refine=n_refine)
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_sharded_pipeline(pipeline, mesh: Mesh):
     """Shard the fused two-stage inference over 'data': returns a callable
     (gray (N,H,W)) -> outputs, with N divided across the mesh."""

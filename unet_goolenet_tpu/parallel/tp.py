@@ -12,6 +12,12 @@ to this model family:
     The head count (8) must divide the model axis.
   * deep encoder/decoder convs (>=256 output channels): output-channel sharded
     (column); the following conv's input dim re-gathers automatically.
+  * GoogLeNet (stage 2): inception branch convs are concat-parallel, so every
+    branch conv in the wide tail (4e/5a/5b, 832-1024 concat channels) is
+    column-sharded — the channel concat of four column-sharded branches stays
+    sharded and the global-avgpool + fc re-gather once at the end. Earlier
+    modules (<=512 channels at 14x14) stay replicated: the all-gather per module
+    would cost more than the conv saves (measured decision, PARITY.md).
   * everything else (BN scales, small convs, heads) stays replicated.
 
 With model=1 every rule degenerates to replication, so the same code path serves
@@ -38,6 +44,9 @@ _TP_RULES = [
     (r".*_feed/fc2/kernel$", _ROW),
     # deep convs: HWIO -> shard O (column) on the widest layers
     (r".*(down3|down4)/nConvs/block\d/conv/conv/kernel$", _COLUMN),
+    # GoogLeNet wide-tail inception branches: all branch-channel counts in
+    # 4e/5a/5b (256..384, min 32) divide a model axis of 2 or 4
+    (r".*inception(4e|5a|5b)/branch\d(_\d)?/conv/conv/kernel$", _COLUMN),
 ]
 
 

@@ -138,6 +138,65 @@ def _transformer(x, m, p, s, *, heads=8, dim=512):
     return x.reshape(n, h, w, c), m.reshape(n, h, w, c)
 
 
+def _basic_conv(x, p, s, *, stride=1, padding=0):
+    """BasicConv2d (models/googlenet.py:36-49): conv(bias=False) + BN(eps 1e-3)
+    + ReLU, BN folded into the conv at inference."""
+    w, b = ops.fold_batchnorm(
+        p["conv"]["conv"]["kernel"], None, p["bn"]["scale"], p["bn"]["bias"],
+        s["bn"]["mean"], s["bn"]["var"], 1e-3,
+    )
+    return jax.nn.relu(ops.conv2d(x, w.astype(x.dtype), b.astype(x.dtype),
+                                  stride=stride, padding=padding))
+
+
+def _inception(x, p, s):
+    b1 = _basic_conv(x, p["branch1"], s["branch1"])
+    b2 = _basic_conv(x, p["branch2_0"], s["branch2_0"])
+    b2 = _basic_conv(b2, p["branch2_1"], s["branch2_1"], padding=1)
+    b3 = _basic_conv(x, p["branch3_0"], s["branch3_0"])
+    # torchvision's 3x3-in-the-5x5-branch quirk: kernel shape carries the truth
+    k3 = p["branch3_1"]["conv"]["conv"]["kernel"].shape[0]
+    b3 = _basic_conv(b3, p["branch3_1"], s["branch3_1"], padding=k3 // 2)
+    b4 = ops.max_pool2d(x, 3, 1, padding=1, ceil_mode=True)
+    b4 = _basic_conv(b4, p["branch4_1"], s["branch4_1"])
+    return jnp.concatenate([b1, b2, b3, b4], axis=-1)
+
+
+def _transform_input(x):
+    """models/googlenet.py:116-122 (torchvision pretrained renormalisation)."""
+    r = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
+    g = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
+    b = x[..., 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
+    return jnp.concatenate([r, g, b], axis=-1)
+
+
+def gnet_forward(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
+    """Engine forward of GoogLeNetClassifier (inference: aux heads off, dropout
+    identity, transform_input on): every BasicConv2d's BatchNorm folded into its
+    conv. Numerics match GoogLeNetClassifier.apply(train=False) to float
+    tolerance (tests/test_engine.py)."""
+    p = variables["params"]["googlenet"]
+    s = variables["batch_stats"]["googlenet"]
+    x = _transform_input(x)
+    x = _basic_conv(x, p["conv1"], s["conv1"], stride=2, padding=3)
+    x = ops.max_pool2d(x, 3, 2, ceil_mode=True)
+    x = _basic_conv(x, p["conv2"], s["conv2"])
+    x = _basic_conv(x, p["conv3"], s["conv3"], padding=1)
+    x = ops.max_pool2d(x, 3, 2, ceil_mode=True)
+    x = _inception(x, p["inception3a"], s["inception3a"])
+    x = _inception(x, p["inception3b"], s["inception3b"])
+    x = ops.max_pool2d(x, 3, 2, ceil_mode=True)
+    for mod in ("inception4a", "inception4b", "inception4c", "inception4d",
+                "inception4e"):
+        x = _inception(x, p[mod], s[mod])
+    x = ops.max_pool2d(x, 2, 2, ceil_mode=True)
+    x = _inception(x, p["inception5a"], s["inception5a"])
+    x = _inception(x, p["inception5b"], s["inception5b"])
+    x = jnp.mean(x, axis=(1, 2))
+    return jnp.dot(x, p["fc"]["kernel"].astype(x.dtype)) + \
+        p["fc"]["bias"].astype(x.dtype)
+
+
 def unet_forward(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
     """Engine forward of UNetTaskAligWeight: variables from model.init / the
     checkpoint converter; x (N, H, W, 3) -> logits (N, H, W, n_classes)."""

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from unet_goolenet_tpu import ops
+from unet_goolenet_tpu.pipeline import engine as _engine
 
 
 def preprocess_gray(
@@ -76,7 +77,7 @@ class TwoStagePipeline:
     """
 
     def __init__(self, unet, unet_vars, gnet, gnet_vars, *, img_size: int = 224,
-                 padding: int = 30, dtype=jnp.float32):
+                 padding: int = 30, dtype=jnp.float32, use_engine: bool = True):
         self.unet = unet
         self.gnet = gnet
         self.unet_vars = unet_vars
@@ -84,14 +85,31 @@ class TwoStagePipeline:
         self.img_size = img_size
         self.padding = padding
         self.dtype = dtype
+        self.use_engine = use_engine
 
         hw = (img_size, img_size)
 
+        # serving path: the BN-folded engine forwards (pipeline/engine.py) save
+        # one full normalisation pass over every conv activation; numerics match
+        # model.apply to float tolerance (tests/test_engine.py), and the flax
+        # path stays available with use_engine=False for bit-level debugging.
+        def _seg(unet_vars, imgs):
+            if use_engine:
+                logits = _engine.unet_forward(unet_vars, imgs)
+                masks = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+                return logits, masks
+            return segment(self.unet, unet_vars, imgs)
+
+        def _cls(gnet_vars, crops):
+            if use_engine:
+                return _engine.gnet_forward(gnet_vars, crops)
+            return self.gnet.apply(gnet_vars, crops, train=False)
+
         def _e2e(unet_vars, gnet_vars, gray):
             imgs = preprocess_gray(gray, out_hw=hw).astype(dtype)
-            logits, masks = segment(self.unet, unet_vars, imgs)
+            logits, masks = _seg(unet_vars, imgs)
             crops, boxes = extract_roi(imgs, masks, padding=padding, out_hw=hw)
-            cls_logits = self.gnet.apply(gnet_vars, crops, train=False)
+            cls_logits = _cls(gnet_vars, crops)
             grades = jnp.argmax(cls_logits, axis=-1)
             return {
                 "grades": grades,
@@ -102,9 +120,9 @@ class TwoStagePipeline:
             }
 
         def _e2e_from_rgb(unet_vars, gnet_vars, imgs):
-            logits, masks = segment(self.unet, unet_vars, imgs.astype(dtype))
+            logits, masks = _seg(unet_vars, imgs.astype(dtype))
             crops, boxes = extract_roi(imgs.astype(dtype), masks, padding=padding, out_hw=hw)
-            cls_logits = self.gnet.apply(gnet_vars, crops, train=False)
+            cls_logits = _cls(gnet_vars, crops)
             return {
                 "grades": jnp.argmax(cls_logits, axis=-1),
                 "cls_logits": cls_logits,
@@ -114,7 +132,7 @@ class TwoStagePipeline:
             }
 
         def _masks(unet_vars, imgs):
-            _, masks = segment(self.unet, unet_vars, imgs.astype(dtype))
+            _, masks = _seg(unet_vars, imgs.astype(dtype))
             return masks
 
         def _grades_only(unet_vars, gnet_vars, gray):
