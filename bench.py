@@ -20,7 +20,7 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "baseline_cpu.json")
-BATCH = 16
+BATCH = 64  # measured best (benchmarks/profile_e2e.py batch sweep, r2)
 IMG_HW = (400, 500)  # raw ultrasound-ish input size
 SIZE = 224
 

@@ -12,10 +12,14 @@ first-max backward are Pallas/exact-torch-parity too. Measured on-chip vs XLA
 at the UNet's shapes: single-conv parity at >=128 channels; XLA ~2.5x faster at
 the 64-channel 224^2 level (the 128-lane padding wastes half the MXU for any
 matmul-form conv, and XLA's native conv handles it better) -> single convs
-default to XLA. `fused_convstack2` goes where XLA cannot: a whole
-ConvBatchNorm PAIR in one VMEM residency (the intermediate never touches HBM),
-for the levels whose image fits VMEM; see benchmarks/pallas_stack_bench.py for
-the measured per-level dispatch decision.
+default to XLA. `fused_convstack2` fuses a whole ConvBatchNorm PAIR in one
+VMEM residency (the intermediate never touches HBM) for levels whose image
+fits VMEM; measured on-chip (benchmarks/pallas_stack_bench.py, RTT-amortised
+100-step scans): parity at down2, 9-21% behind XLA at the weights-heavy
+levels — XLA's conv+epilogue fusion is already at the HBM/MXU roofline for
+these shapes, so production dispatch stays XLA across the board (a measured
+decision, not a gap; the kernels remain the substrate + oracle-tested
+reference for future hardware where the trade-off shifts).
 """
 
 from unet_goolenet_tpu.ops.pallas import conv as _conv_mod

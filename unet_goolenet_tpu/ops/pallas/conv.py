@@ -268,6 +268,9 @@ def _stack2_fits(h: int, w: int, cin: int, cmid: int, cout: int,
         + 2 * h * w * pad(cout) * itemsize         # output, double-buffered
         + 9 * (pad(cin) * pad(cmid) + pad(cmid) * pad(cout)) * itemsize
     )
+    # 12MB of the ~16MB VMEM: raising to 13.6MB compiles but fails at RUN time
+    # (JaxRuntimeError on the 56^2x512 stack) — 12MB is the proven-safe budget
+    # (benchmarks/pallas_stack_bench.py)
     return need < 12_000_000
 
 
