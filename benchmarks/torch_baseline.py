@@ -21,7 +21,10 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-torch.set_grad_enabled(False)
+# No grads anywhere in this harness — but do NOT flip the global grad mode at
+# import time: pytest imports this module during collection and a global
+# set_grad_enabled(False) would silently break unrelated autograd tests.
+# run_e2e_baseline wraps its body in torch.no_grad() instead.
 
 
 # ------------------------------------------------------------------ param making
@@ -252,6 +255,11 @@ def run_e2e_baseline(
     TestImageDataset.__getitem__), batched GoogLeNet. Returns images/sec."""
     import cv2
 
+    with torch.no_grad():
+        return _run_e2e_baseline(n_images, image_hw, img_size, cv2)
+
+
+def _run_e2e_baseline(n_images, image_hw, img_size, cv2) -> float:
     up = make_unet_params()
     gp = make_gnet_params()
     rng = np.random.default_rng(0)

@@ -70,3 +70,28 @@ class TestEngine:
         a = f(variables, x)
         b = f(variables, x)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPackedForward:
+    def test_packed_matches_dense_engine(self):
+        """unet_forward_packed == unet_forward up to f32 summation order."""
+        model = UNetTaskAligWeight(n_classes=1)
+        x = jax.random.uniform(KEY, (2, 64, 64, 3))
+        variables = model.init({"params": KEY}, x, train=False)
+        _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": mut["batch_stats"]}
+        ref = engine.unet_forward(variables, x)
+        got = engine.unet_forward_packed(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_packed_matches_flax_apply_bf16(self):
+        model = UNetTaskAligWeight(n_classes=1, dtype=jnp.bfloat16)
+        x = jax.random.uniform(KEY, (1, 64, 64, 3)).astype(jnp.bfloat16)
+        variables = model.init({"params": KEY}, x, train=False)
+        ref = model.apply(variables, x, train=False)
+        got = engine.unet_forward_packed(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=1e-1, atol=1e-1)

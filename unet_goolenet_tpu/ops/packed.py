@@ -1,0 +1,259 @@
+"""Pixel-packed (2px-per-128-lane) layout for 64-channel conv levels.
+
+Why: TPU v5e tiles the minor (channel) dim to 128 lanes. The flagship UNet's
+finest levels (inc / up1 @224^2, up2's tail @112^2 — reference
+分割/nets/basicUnet.py:136-199's 64-channel decoder) therefore waste half the
+MXU and HBM tile on padding. Packing two horizontally-adjacent pixels'
+64 channels into one 128-lane row makes every tile dense:
+
+    x:(N, H, W, 64)  ->  x_p:(N, H, W//2, 128)   [exact reshape, channels minor]
+
+A 3x3 conv in packed layout becomes a 3x3 conv over packed columns with
+block-expanded weights: output pixel 2j+p (parity p) tap dx reads input pixel
+t = 2j + p + dx, i.e. packed column j + (p+dx)//2, lane-half (p+dx) % 2. Half
+the expanded weight blocks are zero — the MXU pays 2x the logical FLOPs but at
+full 128-lane utilisation, which measures ~1.2x FASTER than the padded dense
+64-channel conv on chip, and every elementwise/BN/gate pass between convs
+moves half the HBM tiles (benchmarks/RESULTS.md round-2 packed table).
+
+The mixed variant (unpacked 64/128/256-channel input -> packed output) is a
+stride-(1,2) conv with a (3,4) kernel — only 4/3 the logical FLOPs at full
+lane use — used at chain heads where the input is already unpacked.
+
+All variants accumulate in f32 (`preferred_element_type`) and are exact (the
+extra weight blocks are zeros; only f32 summation order differs from the dense
+conv). Oracle-tested against ops.conv2d in tests/test_packed.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def pack(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) -> (N, H, W//2, 2C). Exact reshape; channels minor."""
+    n, h, w, c = x.shape
+    assert w % 2 == 0, f"width {w} must be even to pack"
+    return x.reshape(n, h, w // 2, 2 * c)
+
+
+def unpack(x_p: jax.Array) -> jax.Array:
+    """(N, H, Wp, 2C) -> (N, H, 2*Wp, C)."""
+    n, h, wp, c2 = x_p.shape
+    return x_p.reshape(n, h, wp * 2, c2 // 2)
+
+
+def expand_weights_pp(w: jax.Array) -> jax.Array:
+    """(3, 3, Cin, Cout) -> (3, 3, 2Cin, 2Cout) for packed-in -> packed-out.
+
+    Output parity p, horizontal tap dx: t = p + dx - 1 + 1 ... with dx in
+    {0,1,2} (kernel index), logical offset dx-1: t = p + (dx-1); packed kernel
+    col = (t // 2) + 1, input lane-half q = t % 2.
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    wp = jnp.zeros((3, 3, 2 * cin, 2 * cout), w.dtype)
+    for p in (0, 1):
+        for dx in (-1, 0, 1):
+            t = p + dx
+            kxp = t // 2 + 1
+            q = t % 2
+            wp = wp.at[:, kxp, q * cin:(q + 1) * cin,
+                       p * cout:(p + 1) * cout].set(w[:, dx + 1])
+    return wp
+
+
+def expand_weights_up(w: jax.Array) -> jax.Array:
+    """(3, 3, Cin, Cout) -> (3, 4, Cin, 2Cout) for unpacked-in -> packed-out
+    (used with stride (1, 2), padding ((1,1),(1,2))).
+
+    Output pixel 2j+p tap dx reads input column 2j + p + dx; with stride 2 the
+    window anchor is column 2j-1, so kernel index kx = p + dx + 1 - 1 + 1 ...
+    = (p + dx) + 1 in [0, 3].
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    wp = jnp.zeros((3, 4, cin, 2 * cout), w.dtype)
+    for p in (0, 1):
+        for dx in (-1, 0, 1):
+            kx = p + dx + 1
+            wp = wp.at[:, kx, :, p * cout:(p + 1) * cout].set(w[:, dx + 1])
+    return wp
+
+
+def _conv(x, w, stride, padding, dtype):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, w.astype(dtype), stride, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+
+
+def conv3x3_pp(x_p: jax.Array, w_exp: jax.Array,
+               b: Optional[jax.Array] = None, *, relu: bool = False) -> jax.Array:
+    """Packed-in -> packed-out 3x3 'same' conv.
+
+    x_p: (N, H, Wp, 2Cin); w_exp from expand_weights_pp (3, 3, 2Cin, 2Cout);
+    b: (Cout,) logical bias, tiled over both pixel halves.
+    """
+    y = _conv(x_p, w_exp, (1, 1), [(1, 1), (1, 1)], x_p.dtype)
+    if b is not None:
+        y = y + jnp.tile(b, 2).astype(y.dtype)
+    y = y.astype(x_p.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def conv3x3_up(x: jax.Array, w_exp: jax.Array,
+               b: Optional[jax.Array] = None, *, relu: bool = False) -> jax.Array:
+    """Unpacked-in -> packed-out 3x3 'same' conv (stride-2 over packed cols).
+
+    x: (N, H, W, Cin) unpacked; w_exp from expand_weights_up (3, 4, Cin, 2Cout).
+    Returns (N, H, W//2, 2Cout).
+    """
+    y = _conv(x, w_exp, (1, 2), [(1, 1), (1, 2)], x.dtype)
+    if b is not None:
+        y = y + jnp.tile(b, 2).astype(y.dtype)
+    y = y.astype(x.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def conv3x3_pp2(a_p: jax.Array, wa_exp: jax.Array,
+                b_p: jax.Array, wb_exp: jax.Array,
+                bias: Optional[jax.Array] = None, *,
+                relu: bool = False) -> jax.Array:
+    """conv3x3(concat([a, b], ch)) without materialising the concat.
+
+    Splitting the weight into its block-rows, conv(cat([a,b])) == conv(a, Wa)
+    + conv(b, Wb); the packed concat is a 4-way lane shuffle that costs more
+    than a whole 64-channel conv on chip (benchmarks/RESULTS.md r2), so the
+    split-sum form is the production path for the UNet's decoder concat+conv.
+    """
+    ya = _conv(a_p, wa_exp, (1, 1), [(1, 1), (1, 1)], a_p.dtype)
+    yb = _conv(b_p, wb_exp, (1, 1), [(1, 1), (1, 1)], b_p.dtype)
+    y = ya + yb
+    if bias is not None:
+        y = y + jnp.tile(bias, 2)
+    y = y.astype(a_p.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def conv3x3_up2(a: jax.Array, wa_exp: jax.Array,
+                b: jax.Array, wb_exp: jax.Array,
+                bias: Optional[jax.Array] = None, *,
+                relu: bool = False) -> jax.Array:
+    """Split-sum form of conv3x3_up(concat([a, b], ch)): unpacked inputs,
+    packed output, no materialised concat."""
+    ya = _conv(a, wa_exp, (1, 2), [(1, 1), (1, 2)], a.dtype)
+    yb = _conv(b, wb_exp, (1, 2), [(1, 1), (1, 2)], b.dtype)
+    y = ya + yb
+    if bias is not None:
+        y = y + jnp.tile(bias, 2)
+    y = y.astype(a.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def conv1x1_p(x_p: jax.Array, w: jax.Array,
+              b: Optional[jax.Array] = None) -> jax.Array:
+    """1x1 conv in packed layout: block-diagonal lane matmul.
+
+    w: (Cin, Cout) logical; both pixel halves share it.
+    """
+    cin, cout = w.shape
+    w2 = jnp.zeros((2 * cin, 2 * cout), w.dtype)
+    w2 = w2.at[:cin, :cout].set(w).at[cin:, cout:].set(w)
+    y = jnp.dot(x_p, w2.astype(x_p.dtype),
+                preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + jnp.tile(b, 2).astype(y.dtype)
+    return y.astype(x_p.dtype)
+
+
+def max_pool2x2_p(x_p: jax.Array) -> jax.Array:
+    """2x2/s2 max pool, packed in and out.
+
+    Out packed col j holds out pixels (2j, 2j+1) <- input packed cols 2j, 2j+1,
+    each pooling its own two lane-halves and two rows.
+    """
+    n, h, wp, c2 = x_p.shape
+    c = c2 // 2
+    v = x_p.reshape(n, h // 2, 2, wp // 2, 2, 2, c)
+    # axes: (N, H2, row-in-pair, Wp2, packed-col-in-pair, pixel-half, C)
+    pooled = jnp.max(jnp.max(v, axis=2), axis=4)  # (N, H2, Wp2, 2, C)
+    return pooled.reshape(n, h // 2, wp // 2, c2)
+
+
+def max_pool2x2_p_to_dense(x_p: jax.Array) -> jax.Array:
+    """2x2/s2 max pool, packed in -> DENSE out: (N,H,Wp,2C) -> (N,H/2,Wp,C).
+
+    The packed col j holds the horizontal pool pair (pixels 2j, 2j+1), so the
+    pool is a rows-only reduce_window (full 128-lane tiles, no padding waste)
+    followed by a lane-half max, and the result is already the dense pooled
+    tensor (out width == Wp). Measured 2.09 ms vs 5.05 ms for the dense
+    reduce_window on the 64-channel 224^2 level; NB strided-slice forms
+    (x[:, 0::2]) are ~3x slower than reduce_window on TPU — keep the window op
+    (benchmarks/RESULTS.md r2).
+    """
+    c = x_p.shape[-1] // 2
+    row = jax.lax.reduce_window(x_p, -jnp.inf, jax.lax.max,
+                                (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+    return jnp.maximum(row[..., :c], row[..., c:])
+
+
+def mean_max_hw_p(x_p: jax.Array):
+    """Global (H, W) mean and max per logical channel from packed layout.
+
+    Returns ((N,1,1,C), (N,1,1,C)) matching jnp.mean/max(axis=(1,2)) on the
+    unpacked tensor.
+    """
+    n, h, wp, c2 = x_p.shape
+    c = c2 // 2
+    v = x_p.reshape(n, h, wp, 2, c)
+    mean = jnp.mean(v, axis=(1, 2, 3))[:, None, None, :]
+    mx = jnp.max(v, axis=(1, 2, 3))[:, None, None, :]
+    return mean, mx
+
+
+def scale_p(x_p: jax.Array, s: jax.Array) -> jax.Array:
+    """Multiply packed tensor by a (N,1,1,C) per-channel gate."""
+    return x_p * jnp.concatenate([s, s], axis=-1).astype(x_p.dtype)
+
+
+def concat_channels_p(a_p: jax.Array, b_p: jax.Array) -> jax.Array:
+    """Per-pixel channel concat of two packed tensors.
+
+    [px0 a | px1 a] + [px0 b | px1 b] -> [px0 a, px0 b | px1 a, px1 b].
+    """
+    ca = a_p.shape[-1] // 2
+    cb = b_p.shape[-1] // 2
+    return jnp.concatenate(
+        [a_p[..., :ca], b_p[..., :cb], a_p[..., ca:], b_p[..., cb:]], axis=-1)
+
+
+def conv_transpose2x2_p(x_p: jax.Array, w: jax.Array,
+                        b: Optional[jax.Array] = None) -> jax.Array:
+    """2x2/s2 transposed conv, packed in (N,H,Wp,2C) -> packed out
+    (N,2H,2Wp... i.e. (N, 2H, W, 2C)): the matmul + depth-to-space lowering of
+    ops.conv_transpose2x2, block-diagonal over the two pixel halves.
+
+    w: (2, 2, Cin, Cout) torch-layout HWIO kernel.
+    """
+    n, h, wp, c2 = x_p.shape
+    cin = c2 // 2
+    _, _, wcin, cout = w.shape
+    assert wcin == cin
+    # per input pixel: 4 sub-outputs (r0c0, r0c1, r1c0, r1c1) x Cout
+    wm = w.transpose(2, 0, 1, 3).reshape(cin, 4 * cout)  # (Cin, 4Cout)
+    w2 = jnp.zeros((2 * cin, 8 * cout), w.dtype)
+    w2 = w2.at[:cin, :4 * cout].set(wm).at[cin:, 4 * cout:].set(wm)
+    y = jnp.dot(x_p, w2.astype(x_p.dtype),
+                preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + jnp.tile(b, 8)  # f32 bias add, matching ops.conv_transpose2x2
+    y = y.astype(x_p.dtype)
+    # y: (N, H, Wp, 2px * 2row * 2col * Cout) -> packed out (N, 2H, Wp*2, 2Cout)
+    y = y.reshape(n, h, wp, 2, 2, 2, cout)  # (.., px, row, col, C)
+    y = y.transpose(0, 1, 4, 2, 3, 5, 6)    # (N, H, row, Wp, px, col, C)
+    return y.reshape(n, 2 * h, wp * 2, 2 * cout)

@@ -22,6 +22,15 @@ import jax
 import jax.numpy as jnp
 
 from unet_goolenet_tpu import ops
+from unet_goolenet_tpu.ops import packed as P
+
+
+def _fold(p, s, *, eps=1e-5):
+    """Folded (w, b) of a ConvBatchNorm block's conv+BN."""
+    return ops.fold_batchnorm(
+        p["conv"]["conv"]["kernel"], p["conv"]["conv"]["bias"],
+        p["norm"]["scale"], p["norm"]["bias"], s["norm"]["mean"],
+        s["norm"]["var"], eps)
 
 
 def _cbn(x, p, s, *, eps=1e-5, relu=True):
@@ -195,6 +204,100 @@ def gnet_forward(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
     x = jnp.mean(x, axis=(1, 2))
     return jnp.dot(x, p["fc"]["kernel"].astype(x.dtype)) + \
         p["fc"]["bias"].astype(x.dtype)
+
+
+def _cbn_pp(x_p, p, s, dtype):
+    """ConvBatchNorm in packed layout (packed in -> packed out)."""
+    w, b = _fold(p, s)
+    return P.conv3x3_pp(x_p, P.expand_weights_pp(w).astype(dtype),
+                        b.astype(dtype), relu=True)
+
+
+def _cbn_up(x, p, s, dtype):
+    """ConvBatchNorm, unpacked in -> packed out (chain heads)."""
+    w, b = _fold(p, s)
+    return P.conv3x3_up(x, P.expand_weights_up(w).astype(dtype),
+                        b.astype(dtype), relu=True)
+
+
+def _coord_att3_p(e_p, d_p, p, s, dtype):
+    """CoordAtt3 with both streams packed (64-channel levels)."""
+    e1_p = _cbn_pp(e_p, p["conv1_e"]["block0"], s["conv1_e"]["block0"], dtype)
+    avg, mx = P.mean_max_hw_p(e1_p)
+    gate = jax.nn.sigmoid(_conv1x1(
+        jax.nn.relu(_conv1x1(avg, p["fc_avg"])) +
+        jax.nn.relu(_conv1x1(mx, p["fc_max"])), p["fc_out"]))
+    d2_p = _cbn_pp(d_p, p["conv2_e"]["block0"], s["conv2_e"]["block0"], dtype)
+    return e1_p + P.scale_p(d2_p, gate) + d2_p
+
+
+def _up_alig_p(x_p, skip_p, p, s, dtype):
+    """UpBlockAlig fully in packed layout (up1: everything is 64-channel).
+
+    The concat+conv is computed as a split-sum (conv(up) + conv(gated)) —
+    identical math, no lane-shuffle concat (ops/packed.conv3x3_pp2)."""
+    up_p = P.conv_transpose2x2_p(x_p, p["up"]["kernel"].astype(dtype),
+                                 p["up"]["bias"].astype(dtype))
+    gated_p = _coord_att3_p(skip_p, up_p, p["cca"], s["cca"], dtype)
+    w, b = _fold(p["nConvs"]["block0"], s["nConvs"]["block0"])
+    c = up_p.shape[-1] // 2
+    h_p = P.conv3x3_pp2(
+        up_p, P.expand_weights_pp(w[:, :, :c]).astype(dtype),
+        gated_p, P.expand_weights_pp(w[:, :, c:]).astype(dtype),
+        b.astype(dtype), relu=True)
+    return _cbn_pp(h_p, p["nConvs"]["block1"], s["nConvs"]["block1"], dtype)
+
+
+def unet_forward_packed(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
+    """Engine forward with the 64-channel levels in pixel-packed layout.
+
+    Numerically identical to `unet_forward` up to f32 summation order
+    (tests/test_engine.py::TestPackedForward); ~1.5x faster on the v5e where
+    the padded 64-lane levels dominate (benchmarks/RESULTS.md r2).
+    """
+    p = variables["params"]
+    s = variables["batch_stats"]
+    t = p["trunk"]
+    ts = s["trunk"]
+    dtype = x.dtype
+    n, hh, ww, _ = x.shape
+
+    # inc 3->64 directly into packed layout: RGB pairs pack to 6 channels
+    x_p = x.reshape(n, hh, ww // 2, 6)
+    x1_p = _cbn_pp(x_p, t["inc"], ts["inc"], dtype)
+
+    # pool straight out of the packed layout into the dense 112^2 tensor
+    # (row-pair + lane-half maxes, no reduce_window); down1 onward runs dense
+    h = P.max_pool2x2_p_to_dense(x1_p)
+    h = _stack(h, t["down1"]["nConvs"], ts["down1"]["nConvs"])
+    feats = [h]  # x2 (128ch @112^2)
+    for i in range(2, 5):
+        h = ops.max_pool2d(h, 2)
+        h = _stack(h, t[f"down{i}"]["nConvs"], ts[f"down{i}"]["nConvs"])
+        feats.append(h)
+
+    _, out0 = _transformer(feats[3], feats[3], p["task2"], s["task2"])
+    y = _up_alig(out0, feats[2], p["up4"], s["up4"])
+    y = _up_alig(y, feats[1], p["up3"], s["up3"])
+
+    # up2: cca runs at 128ch (dense); the two output convs emit packed 64ch
+    up = ops.conv_transpose2x2(y, p["up2"]["up"]["kernel"].astype(dtype),
+                               p["up2"]["up"]["bias"].astype(dtype))
+    gated = _coord_att3(feats[0], up, p["up2"]["cca"], s["up2"]["cca"])
+    w0, b0 = _fold(p["up2"]["nConvs"]["block0"], s["up2"]["nConvs"]["block0"])
+    c = up.shape[-1]
+    y_p = P.conv3x3_up2(
+        up, P.expand_weights_up(w0[:, :, :c]).astype(dtype),
+        gated, P.expand_weights_up(w0[:, :, c:]).astype(dtype),
+        b0.astype(dtype), relu=True)
+    y_p = _cbn_pp(y_p, p["up2"]["nConvs"]["block1"],
+                  s["up2"]["nConvs"]["block1"], dtype)
+
+    # up1: fully packed (skip x1 never left packed layout)
+    y_p = _up_alig_p(y_p, x1_p, p["up1"], s["up1"], dtype)
+    out_p = P.conv1x1_p(y_p, p["outc"]["conv"]["kernel"][0, 0],
+                        p["outc"]["conv"]["bias"])
+    return P.unpack(out_p)
 
 
 def unet_forward(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
