@@ -20,7 +20,7 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "baseline_cpu.json")
-BATCH = 64  # measured best (benchmarks/profile_e2e.py batch sweep, r2)
+BATCH = 128  # measured best (r2b sweep: 64->1070, 128->1193, 192->1083, 256->1172)
 IMG_HW = (400, 500)  # raw ultrasound-ish input size
 SIZE = 224
 
