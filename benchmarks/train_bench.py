@@ -4,10 +4,17 @@ with backward convs). Prints one JSON line; runs on the default (TPU) backend.
 The refinement train step does 2 forward+backward passes and 2 optimizer updates
 per batch (reference semantics), so `images/sec` counts each image once per
 BATCH, not per pass.
+
+Measured as ONE jitted lax.scan over `iters` steps carrying the train state
+(fetching only the final loss), so the number is steady-state chip throughput,
+not the dev tunnel's ~36 ms/step dispatch+fetch round trip (see
+memory/axon-tpu-tunnel-rules.md). `--bf16` measures the mixed-precision mode
+(bf16 compute, f32 params/optimizer — apps/train_seg.py --bf16).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -15,7 +22,13 @@ import time
 import numpy as np
 
 
-def main(batch: int = 8, iters: int = 10) -> None:
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
@@ -24,29 +37,43 @@ def main(batch: int = 8, iters: int = 10) -> None:
     from unet_goolenet_tpu.train import optim
     from unet_goolenet_tpu.train.seg import init_seg_state, make_seg_train_step
 
-    model = UNetTaskAligWeight(n_classes=1)
+    model = UNetTaskAligWeight(
+        n_classes=1, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     tx = optim.make_adamw(1e-4)
     state = init_seg_state(model, tx, jax.random.PRNGKey(0),
                            input_shape=(1, 224, 224, 3))
-    step = jax.jit(make_seg_train_step(model, tx), donate_argnums=0)
+    step = make_seg_train_step(model, tx)
 
-    imgs = jax.random.uniform(jax.random.PRNGKey(1), (batch, 224, 224, 3))
-    labels = (jax.random.uniform(jax.random.PRNGKey(2), (batch, 224, 224, 1)) > 0.7
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, 224, 224, 3))
+    labels = (jax.random.uniform(jax.random.PRNGKey(2),
+                                 (args.batch, 224, 224, 1)) > 0.7
               ).astype(jnp.float32)
 
-    state, metrics = step(state, imgs, labels)
-    _ = float(metrics["loss"])  # force compile + first step
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, imgs, labels)
-        _ = float(metrics["loss"])  # forces each step (remote backends)
-    dt = time.perf_counter() - t0
+    @jax.jit
+    def run(state, imgs, labels):
+        def body(st, _):
+            st, metrics = step(st, imgs, labels)
+            return st, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, None, length=args.iters)
+        return state, losses
+
+    _, losses = run(state, imgs, labels)
+    _ = np.asarray(losses)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, losses = run(state, imgs, labels)
+        _ = np.asarray(losses)  # force execution of every step
+        best = min(best, time.perf_counter() - t0)
+    dt = best / args.iters
     print(json.dumps({
         "metric": "seg_train_step_throughput",
-        "value": round(batch * iters / dt, 3),
+        "value": round(args.batch / dt, 3),
         "unit": "images/sec/chip",
-        "ms_per_step": round(dt / iters * 1000, 2),
-        "batch": batch,
+        "ms_per_step": round(dt * 1000, 2),
+        "batch": args.batch,
+        "bf16": bool(args.bf16),
     }))
 
 

@@ -176,3 +176,25 @@ class TestCheckpoint:
         a = jax.tree_util.tree_leaves(state.params)[0]
         b = jax.tree_util.tree_leaves(restored.params)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMixedPrecision:
+    """--bf16 mode (apps/train_seg.py): bf16 compute, f32 params/optimizer."""
+
+    def test_bf16_step_learns_and_params_stay_f32(self):
+        model = UNetTaskAligWeight(n_classes=1, dtype=jnp.bfloat16)
+        tx = optim.make_adamw(1e-3)
+        state = init_seg_state(model, tx, KEY, input_shape=(1, 32, 32, 3))
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree_util.tree_leaves(state.params))
+        step = jax.jit(make_seg_train_step(model, tx))
+        imgs = jax.random.uniform(KEY, SHAPE)
+        labels = (imgs.mean(axis=-1, keepdims=True) > 0.5).astype(jnp.float32)
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, imgs, labels)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree_util.tree_leaves(state.params))

@@ -52,6 +52,9 @@ def parse_args(argv=None):
                    help="augment ROI crops on device (flips/rot/blur/jitter)")
     p.add_argument("--aux-weight", type=float, default=0.0,
                    help=">0 enables GoogLeNet aux heads + paper-style aux CE loss")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training: bf16 compute, f32 params/"
+                        "optimizer (opt-in performance mode; reference is f32)")
     p.add_argument("--device-epoch", action="store_true",
                    help="fully device-resident training: stage the wavelet images "
                         "once; each epoch runs frozen-UNet ROI extraction, crop "
@@ -96,8 +99,9 @@ def main(argv=None):
 
         crop_augment = make_device_augment(AugmentConfig.cls_train(args.img_size))
 
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = GoogLeNetClassifier(num_classes=args.num_classes,
-                                aux_logits=args.aux_weight > 0)
+                                aux_logits=args.aux_weight > 0, dtype=dtype)
     tx = optim.make_adamw(args.lr)
     state = init_cls_state(model, tx, key,
                            input_shape=(1, args.img_size, args.img_size, 3))

@@ -52,6 +52,10 @@ def parse_args(argv=None):
     p.add_argument("--log-dir", default=None)
     p.add_argument("--hausdorff", action="store_true",
                    help="compute the (host-side) Hausdorff val metric")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training: bf16 compute, f32 params/"
+                        "optimizer (standard TPU recipe; the reference trains "
+                        "f32, so this is an opt-in performance mode)")
     return p.parse_args(argv)
 
 
@@ -67,7 +71,8 @@ def main(argv=None):
                               drop_last=args.data_parallel, seed=args.seed)
     val_loader = DataLoader(val_ds, args.batch_size)
 
-    model = UNetTaskAligWeight(n_classes=1)
+    model = UNetTaskAligWeight(
+        n_classes=1, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     tx = optim.make_adamw(args.lr)
     state = init_seg_state(model, tx, key,
                            input_shape=(1, args.img_size, args.img_size, 3))
