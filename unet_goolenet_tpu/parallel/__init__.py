@@ -10,6 +10,7 @@ from unet_goolenet_tpu.parallel.mesh import (
     make_tp_dp_cls_train_step,
     make_sharded_pipeline,
 )
+from unet_goolenet_tpu.parallel.pp import make_pp_pipeline, make_stage_mesh
 from unet_goolenet_tpu.parallel.tp import make_param_shardings, shard_params
 
 __all__ = [
@@ -21,6 +22,8 @@ __all__ = [
     "make_sharded_cls_train_step",
     "make_tp_dp_cls_train_step",
     "make_sharded_pipeline",
+    "make_pp_pipeline",
+    "make_stage_mesh",
     "make_param_shardings",
     "shard_params",
 ]
