@@ -49,9 +49,10 @@ def unpack(x_p: jax.Array) -> jax.Array:
 def expand_weights_pp(w: jax.Array) -> jax.Array:
     """(3, 3, Cin, Cout) -> (3, 3, 2Cin, 2Cout) for packed-in -> packed-out.
 
-    Output parity p, horizontal tap dx: t = p + dx - 1 + 1 ... with dx in
-    {0,1,2} (kernel index), logical offset dx-1: t = p + (dx-1); packed kernel
-    col = (t // 2) + 1, input lane-half q = t % 2.
+    Output pixel 2j+p (parity p), logical tap offset dx in {-1,0,1} reads
+    input pixel 2j + t with t = p + dx, i.e. packed kernel column
+    (t // 2) + 1 and input lane-half t % 2. The unused (column, half)
+    combinations stay zero.
     """
     kh, kw, cin, cout = w.shape
     assert (kh, kw) == (3, 3)
@@ -70,9 +71,9 @@ def expand_weights_up(w: jax.Array) -> jax.Array:
     """(3, 3, Cin, Cout) -> (3, 4, Cin, 2Cout) for unpacked-in -> packed-out
     (used with stride (1, 2), padding ((1,1),(1,2))).
 
-    Output pixel 2j+p tap dx reads input column 2j + p + dx; with stride 2 the
-    window anchor is column 2j-1, so kernel index kx = p + dx + 1 - 1 + 1 ...
-    = (p + dx) + 1 in [0, 3].
+    Output pixel 2j+p, tap offset dx reads input column 2j + p + dx; with
+    stride 2 the window anchors at column 2j-1, so kernel index
+    kx = p + dx + 1 in [0, 3].
     """
     kh, kw, cin, cout = w.shape
     assert (kh, kw) == (3, 3)
@@ -176,6 +177,11 @@ def max_pool2x2_p(x_p: jax.Array) -> jax.Array:
 
     Out packed col j holds out pixels (2j, 2j+1) <- input packed cols 2j, 2j+1,
     each pooling its own two lane-halves and two rows.
+
+    NB measured SLOWER than the dense reduce_window on chip (the lane-splitting
+    reshape de-optimises XLA; RESULTS.md r2b) — production uses
+    max_pool2x2_p_to_dense, which is also what the engine's downsample needs.
+    Kept as the packed->packed reference implementation.
     """
     n, h, wp, c2 = x_p.shape
     c = c2 // 2
