@@ -198,3 +198,41 @@ class TestMixedPrecision:
         assert losses[-1] < losses[0]
         assert all(l.dtype == jnp.float32
                    for l in jax.tree_util.tree_leaves(state.params))
+
+
+class TestCheckpointUnderDP:
+    def test_replicated_save_then_host_restore_roundtrip(self, tmp_path):
+        """apps/train_seg --data-parallel saves a REPLICATED (mesh-sharded)
+        state; --resume restores into an unsharded host template before
+        re-replicating. Prove that roundtrip is lossless."""
+        from unet_goolenet_tpu.parallel import (
+            make_mesh, make_sharded_seg_train_step, replicate, shard_batch)
+        from unet_goolenet_tpu.train.checkpoint import CheckpointManager
+
+        model, tx, state = small_seg_setup()
+        mesh = make_mesh()
+        rep_state = type(state)(*(replicate(mesh, part) for part in state))
+        step = make_sharded_seg_train_step(model, tx, mesh)
+        n = len(jax.devices())
+        batch = shard_batch(mesh, {
+            "i": jax.random.uniform(KEY, (n, 32, 32, 3)),
+            "l": (jax.random.uniform(jax.random.PRNGKey(1), (n, 32, 32, 1))
+                  > 0.7).astype(jnp.float32),
+        })
+        rep_state, _ = step(rep_state, batch["i"], batch["l"])
+
+        mgr = CheckpointManager(str(tmp_path / "dp_ckpt"))
+        path = mgr.save_best_loss(rep_state, epoch=5)
+
+        _, _, host_template = small_seg_setup()
+        restored, epoch = mgr.restore(path, host_template)
+        assert epoch == 5
+        a = jax.tree_util.tree_leaves(rep_state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0)
+
+        # and the restored host state re-replicates and trains on
+        rep2 = type(restored)(*(replicate(mesh, part) for part in restored))
+        rep2, metrics = step(rep2, batch["i"], batch["l"])
+        assert np.isfinite(float(metrics["loss"]))
