@@ -252,8 +252,9 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
     """Engine forward with the 64-channel levels in pixel-packed layout.
 
     Numerically identical to `unet_forward` up to f32 summation order
-    (tests/test_engine.py::TestPackedForward); ~1.5x faster on the v5e where
-    the padded 64-lane levels dominate (benchmarks/RESULTS.md r2).
+    (tests/test_engine.py::TestPackedForward); measured 1.13x on the whole
+    forward on the v5e, with the padded 64-lane levels providing the gains
+    (benchmarks/RESULTS.md r2b). Requires an even image width.
     """
     p = variables["params"]
     s = variables["batch_stats"]
@@ -267,7 +268,7 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
     x1_p = _cbn_pp(x_p, t["inc"], ts["inc"], dtype)
 
     # pool straight out of the packed layout into the dense 112^2 tensor
-    # (row-pair + lane-half maxes, no reduce_window); down1 onward runs dense
+    # (rows-only reduce_window + lane-half max); down1 onward runs dense
     h = P.max_pool2x2_p_to_dense(x1_p)
     h = _stack(h, t["down1"]["nConvs"], ts["down1"]["nConvs"])
     feats = [h]  # x2 (128ch @112^2)
