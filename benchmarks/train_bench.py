@@ -27,6 +27,9 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--packed", action="store_true",
+                    help="use the pixel-packed engine train forward "
+                         "(pipeline/engine_train.py)")
     args = ap.parse_args(argv)
 
     import jax
@@ -42,7 +45,8 @@ def main(argv=None) -> None:
     tx = optim.make_adamw(1e-4)
     state = init_seg_state(model, tx, jax.random.PRNGKey(0),
                            input_shape=(1, 224, 224, 3))
-    step = make_seg_train_step(model, tx)
+    step = make_seg_train_step(
+        model, tx, forward="engine-packed" if args.packed else "flax")
 
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, 224, 224, 3))
     labels = (jax.random.uniform(jax.random.PRNGKey(2),
@@ -74,6 +78,7 @@ def main(argv=None) -> None:
         "ms_per_step": round(dt * 1000, 2),
         "batch": args.batch,
         "bf16": bool(args.bf16),
+        "packed": bool(args.packed),
     }))
 
 

@@ -52,6 +52,11 @@ def parse_args(argv=None):
     p.add_argument("--log-dir", default=None)
     p.add_argument("--hausdorff", action="store_true",
                    help="compute the (host-side) Hausdorff val metric")
+    p.add_argument("--engine-forward", action="store_true",
+                   help="use the pixel-packed engine train forward "
+                        "(pipeline/engine_train.py; single-device path, even "
+                        "image size) — same math as flax apply to float "
+                        "tolerance, measured faster on TPU")
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision training: bf16 compute, f32 params/"
                         "optimizer (standard TPU recipe; the reference trains "
@@ -91,7 +96,9 @@ def main(argv=None):
         train_step = make_sharded_seg_train_step(model, tx, mesh)
         put = lambda b: shard_batch(mesh, b)
     else:
-        train_step = jax.jit(make_seg_train_step(model, tx), donate_argnums=0)
+        fwd = "engine-packed" if args.engine_forward else "flax"
+        train_step = jax.jit(make_seg_train_step(model, tx, forward=fwd),
+                             donate_argnums=0)
         put = lambda b: b
     eval_step = jax.jit(make_seg_eval_step(model))
 

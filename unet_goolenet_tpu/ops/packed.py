@@ -85,22 +85,23 @@ def expand_weights_up(w: jax.Array) -> jax.Array:
     return wp
 
 
-def _conv(x, w, stride, padding, dtype):
+def _conv(x, w, stride, padding, dtype, accum=jnp.float32):
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     return jax.lax.conv_general_dilated(
         x, w.astype(dtype), stride, padding, dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=accum)
 
 
 def conv3x3_pp(x_p: jax.Array, w_exp: jax.Array,
-               b: Optional[jax.Array] = None, *, relu: bool = False) -> jax.Array:
+               b: Optional[jax.Array] = None, *, relu: bool = False,
+               accum=jnp.float32) -> jax.Array:
     """Packed-in -> packed-out 3x3 'same' conv.
 
     x_p: (N, H, Wp, 2Cin); w_exp from expand_weights_pp (3, 3, 2Cin, 2Cout);
     b: (Cout,) logical bias, tiled over both pixel halves.
     """
-    y = _conv(x_p, w_exp, (1, 1), [(1, 1), (1, 1)], x_p.dtype)
+    y = _conv(x_p, w_exp, (1, 1), [(1, 1), (1, 1)], x_p.dtype, accum)
     if b is not None:
         y = y + jnp.tile(b, 2).astype(y.dtype)
     y = y.astype(x_p.dtype)
@@ -124,7 +125,7 @@ def conv3x3_up(x: jax.Array, w_exp: jax.Array,
 def conv3x3_pp2(a_p: jax.Array, wa_exp: jax.Array,
                 b_p: jax.Array, wb_exp: jax.Array,
                 bias: Optional[jax.Array] = None, *,
-                relu: bool = False) -> jax.Array:
+                relu: bool = False, accum=jnp.float32) -> jax.Array:
     """conv3x3(concat([a, b], ch)) without materialising the concat.
 
     Splitting the weight into its block-rows, conv(cat([a,b])) == conv(a, Wa)
@@ -132,8 +133,8 @@ def conv3x3_pp2(a_p: jax.Array, wa_exp: jax.Array,
     than a whole 64-channel conv on chip (benchmarks/RESULTS.md r2), so the
     split-sum form is the production path for the UNet's decoder concat+conv.
     """
-    ya = _conv(a_p, wa_exp, (1, 1), [(1, 1), (1, 1)], a_p.dtype)
-    yb = _conv(b_p, wb_exp, (1, 1), [(1, 1), (1, 1)], b_p.dtype)
+    ya = _conv(a_p, wa_exp, (1, 1), [(1, 1), (1, 1)], a_p.dtype, accum)
+    yb = _conv(b_p, wb_exp, (1, 1), [(1, 1), (1, 1)], b_p.dtype, accum)
     y = ya + yb
     if bias is not None:
         y = y + jnp.tile(bias, 2)
@@ -144,11 +145,11 @@ def conv3x3_pp2(a_p: jax.Array, wa_exp: jax.Array,
 def conv3x3_up2(a: jax.Array, wa_exp: jax.Array,
                 b: jax.Array, wb_exp: jax.Array,
                 bias: Optional[jax.Array] = None, *,
-                relu: bool = False) -> jax.Array:
+                relu: bool = False, accum=jnp.float32) -> jax.Array:
     """Split-sum form of conv3x3_up(concat([a, b], ch)): unpacked inputs,
     packed output, no materialised concat."""
-    ya = _conv(a, wa_exp, (1, 2), [(1, 1), (1, 2)], a.dtype)
-    yb = _conv(b, wb_exp, (1, 2), [(1, 1), (1, 2)], b.dtype)
+    ya = _conv(a, wa_exp, (1, 2), [(1, 1), (1, 2)], a.dtype, accum)
+    yb = _conv(b, wb_exp, (1, 2), [(1, 1), (1, 2)], b.dtype, accum)
     y = ya + yb
     if bias is not None:
         y = y + jnp.tile(bias, 2)
@@ -157,7 +158,7 @@ def conv3x3_up2(a: jax.Array, wa_exp: jax.Array,
 
 
 def conv1x1_p(x_p: jax.Array, w: jax.Array,
-              b: Optional[jax.Array] = None) -> jax.Array:
+              b: Optional[jax.Array] = None, accum=jnp.float32) -> jax.Array:
     """1x1 conv in packed layout: block-diagonal lane matmul.
 
     w: (Cin, Cout) logical; both pixel halves share it.
@@ -165,8 +166,7 @@ def conv1x1_p(x_p: jax.Array, w: jax.Array,
     cin, cout = w.shape
     w2 = jnp.zeros((2 * cin, 2 * cout), w.dtype)
     w2 = w2.at[:cin, :cout].set(w).at[cin:, cout:].set(w)
-    y = jnp.dot(x_p, w2.astype(x_p.dtype),
-                preferred_element_type=jnp.float32)
+    y = jnp.dot(x_p, w2.astype(x_p.dtype), preferred_element_type=accum)
     if b is not None:
         y = y + jnp.tile(b, 2).astype(y.dtype)
     return y.astype(x_p.dtype)
@@ -239,7 +239,8 @@ def concat_channels_p(a_p: jax.Array, b_p: jax.Array) -> jax.Array:
 
 
 def conv_transpose2x2_p(x_p: jax.Array, w: jax.Array,
-                        b: Optional[jax.Array] = None) -> jax.Array:
+                        b: Optional[jax.Array] = None,
+                        accum=jnp.float32) -> jax.Array:
     """2x2/s2 transposed conv, packed in (N,H,Wp,2C) -> packed out
     (N,2H,2Wp... i.e. (N, 2H, W, 2C)): the matmul + depth-to-space lowering of
     ops.conv_transpose2x2, block-diagonal over the two pixel halves.
@@ -254,8 +255,7 @@ def conv_transpose2x2_p(x_p: jax.Array, w: jax.Array,
     wm = w.transpose(2, 0, 1, 3).reshape(cin, 4 * cout)  # (Cin, 4Cout)
     w2 = jnp.zeros((2 * cin, 8 * cout), w.dtype)
     w2 = w2.at[:cin, :4 * cout].set(wm).at[cin:, 4 * cout:].set(wm)
-    y = jnp.dot(x_p, w2.astype(x_p.dtype),
-                preferred_element_type=jnp.float32)
+    y = jnp.dot(x_p, w2.astype(x_p.dtype), preferred_element_type=accum)
     if b is not None:
         y = y + jnp.tile(b, 8)  # f32 bias add, matching ops.conv_transpose2x2
     y = y.astype(x_p.dtype)

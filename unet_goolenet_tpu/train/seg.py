@@ -36,19 +36,42 @@ def make_seg_train_step(
     *,
     loss_fn: Callable = dc_and_bce_loss,
     n_refine: int = 2,
+    forward: str = "flax",
 ) -> Callable:
     """Build a jittable train step: (state, imgs NHWC, labels (N,H,W,1)) ->
-    (state, metrics dict)."""
+    (state, metrics dict).
 
-    def one_pass(params, batch_stats, opt_state, imgs, labels):
-        def losses(p):
+    forward="engine-packed" swaps the flax apply for the hand-scheduled
+    pixel-packed train forward (pipeline/engine_train.py) — same math to float
+    tolerance, measured faster on TPU (benchmarks/RESULTS.md); flagship
+    UNetTaskAligWeight with even image width only."""
+
+    if forward == "engine-packed":
+        from unet_goolenet_tpu.pipeline.engine_train import (
+            unet_forward_packed_train,
+        )
+
+        def fwd(p, batch_stats, imgs):
+            # the engine's compute dtype is the input dtype; honour the
+            # model's configured dtype (bf16 mixed precision) like flax does
+            return unet_forward_packed_train(
+                p, batch_stats, imgs.astype(model.dtype))
+    elif forward == "flax":
+        def fwd(p, batch_stats, imgs):
             out, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 imgs,
                 train=True,
                 mutable=["batch_stats"],
             )
-            return loss_fn(out, labels), (out, mut["batch_stats"])
+            return out, mut["batch_stats"]
+    else:
+        raise ValueError(f"unknown forward {forward!r}")
+
+    def one_pass(params, batch_stats, opt_state, imgs, labels):
+        def losses(p):
+            out, new_stats = fwd(p, batch_stats, imgs)
+            return loss_fn(out, labels), (out, new_stats)
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(losses, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
