@@ -4,7 +4,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The measured path is the fused on-device pipeline (wavelet -> resize -> UNet ->
 bbox -> crop -> GoogLeNet -> argmax) from unet_goolenet_tpu.pipeline, bf16 compute,
-batch 16 — BASELINE.json config 5's single-chip core. `vs_baseline` divides by the
+batch 128 (BATCH below; the measured-best point of the r2b batch sweep) —
+BASELINE.json config 5's single-chip core. `vs_baseline` divides by the
 reference-style torch-CPU flow (benchmarks/torch_baseline.py); the measured CPU
 number is cached in benchmarks/baseline_cpu.json after the first run.
 """

@@ -359,7 +359,14 @@ def _sd_feed(sd: Dict, prefix: str, x: torch.Tensor) -> torch.Tensor:
 
 
 def _sd_transformer(sd: Dict, x5: torch.Tensor, *, dim: int = 512) -> torch.Tensor:
-    """TransformerDecoder bottleneck (tasks.py:188-231), returning the seg stream.
+    """TransformerDecoder bottleneck (tasks.py:188-231), returning the seg
+    stream only (the flagship discards the cl stream)."""
+    return _sd_transformer_both(sd, x5, dim=dim)[1]
+
+
+def _sd_transformer_both(sd: Dict, x5: torch.Tensor, *, dim: int = 512):
+    """TransformerDecoder bottleneck (tasks.py:188-231), returning
+    (cl stream, seg stream) as (N, dim, H, W) maps — the variants' live order.
     Both cross-attention directions share cross_attention_cl (tasks.py:174-175)."""
     def proj(stream):
         t = F.conv2d(x5, _t(sd[f"task2.conv_{stream}.0.weight"]), None, padding=1)
@@ -385,9 +392,10 @@ def _sd_transformer(sd: Dict, x5: torch.Tensor, *, dim: int = 512) -> torch.Tens
     m_mid = m_att + m_cross + m
     m_out = m_mid + _sd_feed(sd, f"{lp}.m_feed",
                              _sd_ln(sd, f"{lp}.m_mlp_norm", m_mid))
-    # cl stream's MLP is computed but only the seg stream feeds the decoder
-    _ = x_mid + _sd_feed(sd, f"{lp}.x_feed", _sd_ln(sd, f"{lp}.x_mlp_norm", x_mid))
-    return m_out.transpose(1, 2).reshape(b, dim, hh, ww)
+    x_out = x_mid + _sd_feed(sd, f"{lp}.x_feed",
+                             _sd_ln(sd, f"{lp}.x_mlp_norm", x_mid))
+    return (x_out.transpose(1, 2).reshape(b, dim, hh, ww),
+            m_out.transpose(1, 2).reshape(b, dim, hh, ww))
 
 
 def _sd_coord_att3(sd: Dict, prefix: str, e: torch.Tensor,
@@ -427,6 +435,43 @@ def unet_forward_ref(sd: Dict, x: torch.Tensor) -> torch.Tensor:
         h = _sd_cbn(sd, f"up{i}.nConvs.0", h)
         h = _sd_cbn(sd, f"up{i}.nConvs.1", h)
     return F.conv2d(h, _t(sd["outc.weight"]), _t(sd["outc.bias"]))
+
+
+def unet_variant_forward_ref(sd: Dict, x: torch.Tensor, *, task2: bool,
+                             alig: bool):
+    """UNetBasic / UNetTask / UNetTaskAlig forward (basicUnet.py:133-368) from
+    a reference-named state dict. x: (N, 3, H, W); returns (seg logits, cl_out)
+    — unlike the flagship, the (avgpool -> fc1 -> fc2) scalar head is live.
+
+    task2=False, alig=False -> UNetBasic  (cl head pools the down4 output,
+                                           basicUnet.py:184-196)
+    task2=True,  alig=False -> UNetTask   (cl head pools the transformer's cl
+                                           stream, basicUnet.py:292-299)
+    task2=True,  alig=True  -> UNetTaskAlig (same + CoordAtt3 skips)
+    """
+    x1 = _sd_cbn(sd, "inc", x)
+    skips = [x1]
+    h = x1
+    for i in range(1, 5):
+        h = F.max_pool2d(h, 2)
+        h = _sd_cbn(sd, f"down{i}.nConvs.0", h)
+        h = _sd_cbn(sd, f"down{i}.nConvs.1", h)
+        skips.append(h)
+    if task2:
+        cl_feat, h = _sd_transformer_both(sd, skips[4])
+    else:
+        cl_feat, h = skips[4], skips[4]
+    cl = cl_feat.mean((2, 3))  # AdaptiveAvgPool2d((1,1)) + flatten
+    cl = cl @ _t(sd["fc1.weight"]).T + _t(sd["fc1.bias"])
+    cl = cl @ _t(sd["fc2.weight"]).T + _t(sd["fc2.bias"])
+    for i, skip in zip((4, 3, 2, 1), (skips[3], skips[2], skips[1], skips[0])):
+        up = F.conv_transpose2d(h, _t(sd[f"up{i}.up.weight"]),
+                                _t(sd[f"up{i}.up.bias"]), stride=2)
+        tail = _sd_coord_att3(sd, f"up{i}.cca", skip, up) if alig else skip
+        h = torch.cat([up, tail], 1)
+        h = _sd_cbn(sd, f"up{i}.nConvs.0", h)
+        h = _sd_cbn(sd, f"up{i}.nConvs.1", h)
+    return F.conv2d(h, _t(sd["outc.weight"]), _t(sd["outc.bias"])), cl
 
 
 def _sd_basic(sd: Dict, name: str, x: torch.Tensor, *, stride: int = 1,

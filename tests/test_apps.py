@@ -99,3 +99,84 @@ def test_full_cli_chain(data_root, tmp_path):
     ])
     dev_lines = open(os.path.join(out_dev, "result.txt")).read().strip().splitlines()
     assert dev_lines == lines
+
+
+@pytest.fixture(scope="module")
+def dp_data_root(tmp_path_factory):
+    """8-item splits so one full batch divides the 8-device mesh."""
+    root = tmp_path_factory.mktemp("busi_dp")
+    for split in ("ctrain", "cval"):
+        (root / split / "images").mkdir(parents=True)
+        (root / split / "labels").mkdir(parents=True)
+        lines = []
+        for i in range(8):
+            g = (RNG.random((40, 48)) * 255).astype(np.uint8)
+            Image.fromarray(g).save(root / split / "images" / f"{i}.png")
+            lines.append(f"{i}.png {i % 6}")
+        (root / split / "labels" / "label.txt").write_text("\n".join(lines))
+    (root / "test").mkdir()
+    for i in range(3):
+        g = (RNG.random((40, 48)) * 255).astype(np.uint8)
+        Image.fromarray(g).save(root / "test" / f"{i}.png")
+    return root
+
+
+def test_data_parallel_clis(dp_data_root, tmp_path):
+    """BASELINE config 5 from shipped CLIs: train_cls --data-parallel and
+    infer_e2e --data-parallel on the 8-device virtual mesh must match the
+    single-device runs (loss within float tolerance, grades exactly)."""
+    import json
+
+    import jax
+    from unet_goolenet_tpu.apps import train_cls, infer_e2e
+
+    assert len(jax.devices()) == 8  # conftest's virtual mesh
+
+    # a tiny stage-1 checkpoint to freeze (random-init weights are fine: the
+    # parity under test is dp-vs-single-device, not model quality)
+    from unet_goolenet_tpu.models import UNetTaskAligWeight
+    from unet_goolenet_tpu.train import optim
+    from unet_goolenet_tpu.train.checkpoint import CheckpointManager
+    from unet_goolenet_tpu.train.seg import init_seg_state
+
+    unet = UNetTaskAligWeight(n_classes=1)
+    seg_state = init_seg_state(unet, optim.make_adamw(), jax.random.PRNGKey(0),
+                               input_shape=(1, S, S, 3))
+    seg_ckpt = CheckpointManager(str(tmp_path / "seg")).save_best_loss(seg_state, 0)
+
+    def run_train(tag, extra):
+        log_dir = str(tmp_path / f"log_{tag}")
+        train_cls.main([
+            "--train-dir", str(dp_data_root / "ctrain"),
+            "--val-dir", str(dp_data_root / "cval"),
+            "--unet-checkpoint", seg_ckpt, "--epochs", "1", "--batch-size", "8",
+            "--img-size", str(S), "--save-dir", str(tmp_path / f"cls_{tag}"),
+            "--crop-augment", "none", "--log-dir", log_dir,
+        ] + extra)
+        log_file = [f for f in os.listdir(log_dir) if f.endswith(".jsonl")][0]
+        rec = json.loads(open(os.path.join(log_dir, log_file)).readline())
+        ckpts = os.listdir(tmp_path / f"cls_{tag}")
+        ckpt = os.path.join(str(tmp_path / f"cls_{tag}"),
+                            [c for c in ckpts if c.startswith("best_model")][0])
+        return rec, ckpt
+
+    ref, ref_ckpt = run_train("single", [])
+    dp, dp_ckpt = run_train("dp", ["--data-parallel"])
+    assert abs(dp["train_loss"] - ref["train_loss"]) < 1e-3, (dp, ref)
+    assert abs(dp["val_loss"] - ref["val_loss"]) < 1e-3, (dp, ref)
+
+    # sharded serving: grades must match the single-device pipeline exactly,
+    # on both ingest paths (host-preprocess and fused-from-gray)
+    def run_infer(tag, extra):
+        out = str(tmp_path / f"e2e_{tag}")
+        infer_e2e.main([
+            "--image-dir", str(dp_data_root / "test"),
+            "--unet-checkpoint", seg_ckpt, "--gnet-checkpoint", ref_ckpt,
+            "--out-dir", out, "--img-size", str(S), "--batch-size", "8",
+        ] + extra)
+        return open(os.path.join(out, "result.txt")).read()
+
+    single = run_infer("single", [])
+    assert run_infer("dp", ["--data-parallel"]) == single
+    assert run_infer("dp_dev", ["--data-parallel", "--device-preprocess"]) == \
+        run_infer("dev", ["--device-preprocess"])

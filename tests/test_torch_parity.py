@@ -90,6 +90,46 @@ class TestUNetForwardParity:
         assert diff <= 1e-4, f"engine vs torch max|diff|={diff}"
 
 
+class TestUNetVariantForwardParity:
+    """basicUnet.py:133-368 variants: converted weights must reproduce the torch
+    forward for BOTH heads (seg logits and the live fc1/fc2 scalar head)."""
+
+    CASES = [
+        ("UNetBasic", dict(task2=False, alig=False)),
+        ("UNetTask", dict(task2=True, alig=False)),
+        ("UNetTaskAlig", dict(task2=True, alig=True)),
+    ]
+
+    @pytest.mark.parametrize("name,flags", CASES)
+    def test_flax_apply_matches_torch(self, name, flags):
+        from test_convert import synth_unet_variant_state_dict
+        from torch_baseline import unet_variant_forward_ref
+
+        from unet_goolenet_tpu import models
+        from unet_goolenet_tpu.models.convert import (
+            convert_unet_basic, convert_unet_task, convert_unet_task_alig)
+
+        convert = {"UNetBasic": convert_unet_basic, "UNetTask": convert_unet_task,
+                   "UNetTaskAlig": convert_unet_task_alig}[name]
+        sd = randomize_state_dict(synth_unet_variant_state_dict(**flags), seed=23)
+        rng = np.random.default_rng(29)
+        x = rng.uniform(0.0, 1.0, (1, 224, 224, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref_logits, ref_cl = unet_variant_forward_ref(
+                sd, torch.from_numpy(x).permute(0, 3, 1, 2), **flags)
+        ref_logits = ref_logits.permute(0, 2, 3, 1).numpy()
+        ref_cl = ref_cl.numpy()
+
+        params, stats, _ = convert(sd)
+        model = getattr(models, name)(n_classes=1)
+        logits, cl = model.apply(as_variables(params, stats), jnp.asarray(x),
+                                 train=False)
+        diff = np.abs(np.asarray(logits) - ref_logits).max()
+        assert diff <= 1e-4, f"{name} seg logits max|diff|={diff}"
+        cdiff = np.abs(np.asarray(cl) - ref_cl).max()
+        assert cdiff <= 1e-4, f"{name} cl head max|diff|={cdiff}"
+
+
 class TestGoogLeNetForwardParity:
     def test_flax_apply_matches_torch(self):
         sd = randomize_state_dict(synth_googlenet_state_dict(), seed=13)

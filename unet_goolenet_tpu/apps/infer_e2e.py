@@ -35,6 +35,12 @@ def parse_args(argv=None):
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=6)
     p.add_argument("--bf16", action="store_true", help="bf16 streaming inference")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each inference batch over all devices (state "
+                        "replicated) — BASELINE config 5's sharded serving "
+                        "layout; requires --batch-size divisible by the device "
+                        "count. Short final batches are padded by repeating the "
+                        "last image and trimmed after grading")
     p.add_argument("--device-preprocess", action="store_true",
                    help="run wavelet+resize on device too: the full fused "
                         "gray->wavelet->resize->UNet->bbox->crop->GoogLeNet graph "
@@ -51,7 +57,7 @@ def numeric_stem(name: str) -> int:
 
 
 def _run_device_preprocess(pipe, image_dir: str, batch_size: int,
-                           records: list) -> int:
+                           records: list, grade_fn=None) -> int:
     """The north-star fused-from-gray path: raw grayscale images are read at
     NATIVE resolution and the whole 分类/test.py:122-134 flow (wavelet at native
     res -> resize -> UNet -> bbox -> crop -> GoogLeNet) runs as one jitted graph.
@@ -60,8 +66,12 @@ def _run_device_preprocess(pipe, image_dir: str, batch_size: int,
     each distinct raw size compiles once — and the final partial chunk of a
     group is padded to the full batch by repeating its last image (padding to a
     bucket size instead would change wavelet/resize semantics). Returns the
-    number of images graded."""
+    number of images graded. `grade_fn` overrides pipe.infer_grades (the
+    --data-parallel path passes the mesh-sharded grades runner)."""
     from unet_goolenet_tpu.data.datasets import _imread
+
+    if grade_fn is None:
+        grade_fn = pipe.infer_grades
 
     names = sorted(os.listdir(image_dir))
     groups: dict = {}
@@ -79,7 +89,7 @@ def _run_device_preprocess(pipe, image_dir: str, batch_size: int,
             if k < batch_size:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[-1:], batch_size - k, axis=0)])
-            grades = np.asarray(pipe.infer_grades(jnp.asarray(batch)))[:k]
+            grades = np.asarray(grade_fn(jnp.asarray(batch)))[:k]
             n += k
             for (name, _), grade in zip(chunk, grades):
                 stem = name.replace(".png", "")
@@ -108,17 +118,38 @@ def main(argv=None):
         gnet, {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
         img_size=args.img_size, dtype=dtype)
 
+    grade_fn = None
+    rgb_fn = pipe.infer_from_rgb
+    if args.data_parallel and len(jax.devices()) > 1:
+        from unet_goolenet_tpu.parallel import make_mesh, make_sharded_pipeline
+
+        mesh = make_mesh()
+        n_dev = mesh.shape["data"]
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--data-parallel: --batch-size {args.batch_size} "
+                             f"must be divisible by the device count {n_dev}")
+        grade_fn = make_sharded_pipeline(pipe, mesh, source="grades")
+        rgb_fn = make_sharded_pipeline(pipe, mesh, source="rgb")
+
     records = []
     t0 = time.time()
     n = 0
     if args.device_preprocess:
-        n = _run_device_preprocess(pipe, args.image_dir, args.batch_size, records)
+        n = _run_device_preprocess(pipe, args.image_dir, args.batch_size,
+                                   records, grade_fn=grade_fn)
     else:
         ds = ImageFolderDataset(args.image_dir, img_size=args.img_size, wavelet=True)
         loader = DataLoader(ds, args.batch_size)
         for batch in loader:
-            out = pipe.infer_from_rgb(jnp.asarray(batch["image"]))
-            grades = np.asarray(out["grades"])
+            imgs = np.asarray(batch["image"])
+            k = len(imgs)
+            if args.data_parallel and k < args.batch_size:
+                # pad the short final batch to the jitted shape (the sharded
+                # runner divides N across devices); trimmed below
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], args.batch_size - k, axis=0)])
+            out = rgb_fn(jnp.asarray(imgs))
+            grades = np.asarray(out["grades"])[:k]
             n += len(grades)
             for name, grade in zip(batch["name"], grades):
                 stem = name.replace(".png", "")

@@ -55,6 +55,12 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision training: bf16 compute, f32 params/"
                         "optimizer (opt-in performance mode; reference is f32)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard train batches (and the frozen-UNet ROI "
+                        "extraction) over all devices, state replicated; XLA "
+                        "inserts the gradient all-reduce. Requires --batch-size "
+                        "divisible by the device count; short final train "
+                        "batches are dropped")
     p.add_argument("--device-epoch", action="store_true",
                    help="fully device-resident training: stage the wavelet images "
                         "once; each epoch runs frozen-UNet ROI extraction, crop "
@@ -64,13 +70,28 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.data_parallel and args.device_epoch:
+        # the device-epoch runner stages/steps on one device; silently ignoring
+        # either flag would misreport what ran
+        raise SystemExit("--data-parallel cannot be combined with --device-epoch")
     key = seed_everything(args.seed)
     logger = MetricLogger(args.log_dir, "train_cls")
+
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from unet_goolenet_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        if args.batch_size % mesh.shape["data"]:
+            raise SystemExit(f"--data-parallel: --batch-size {args.batch_size} "
+                             f"must be divisible by the device count "
+                             f"{mesh.shape['data']}")
 
     rng_np = np.random.default_rng(args.seed)
     train_ds = ClsDataset(args.train_dir, img_size=args.img_size, train=True, rng=rng_np)
     val_ds = ClsDataset(args.val_dir, img_size=args.img_size, train=False)
-    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
+                              drop_last=mesh is not None)
     val_loader = DataLoader(val_ds, args.batch_size)
 
     # frozen stage-1 model
@@ -81,6 +102,12 @@ def main(argv=None):
     seg_mgr = CheckpointManager(".")
     seg_state, _ = seg_mgr.restore(args.unet_checkpoint, seg_state)
     unet_vars = {"params": seg_state.params, "batch_stats": seg_state.batch_stats}
+    if mesh is not None:
+        from unet_goolenet_tpu.parallel import replicate
+
+        # frozen-UNet ROI extraction shards by GSPMD propagation: vars
+        # replicated on the mesh + batch sharded over 'data' below
+        unet_vars = replicate(mesh, unet_vars)
 
     @jax.jit
     def extract(imgs):
@@ -112,9 +139,21 @@ def main(argv=None):
     elif args.warm_start:
         state, _ = mgr.restore(args.warm_start, state)
 
-    train_step = jax.jit(
-        make_cls_train_step(model, tx, aux_weight=args.aux_weight),
-        donate_argnums=0)
+    if mesh is not None:
+        from unet_goolenet_tpu.parallel import (
+            make_sharded_cls_train_step, replicate)
+        from unet_goolenet_tpu.train.seg import TrainState
+
+        if args.aux_weight > 0:
+            raise SystemExit("--data-parallel with --aux-weight is not wired "
+                             "(make_sharded_cls_train_step fixes the loss to "
+                             "the reference's plain CE)")
+        state = TrainState(*(replicate(mesh, part) for part in state))
+        train_step = make_sharded_cls_train_step(model, tx, mesh)
+    else:
+        train_step = jax.jit(
+            make_cls_train_step(model, tx, aux_weight=args.aux_weight),
+            donate_argnums=0)
     eval_step = jax.jit(make_cls_eval_step(model))
 
     epoch_runner = None
@@ -155,13 +194,17 @@ def main(argv=None):
             train_losses = []
             for batch in train_loader:
                 imgs = jnp.asarray(batch["image"])
+                labels = jnp.asarray(batch["cl_label"])
+                if mesh is not None:
+                    from unet_goolenet_tpu.parallel import shard_batch
+
+                    imgs, labels = shard_batch(mesh, (imgs, labels))
                 crops, se_out = extract(imgs)
                 rng, sub = jax.random.split(rng)
                 if crop_augment is not None:
                     rng, asub = jax.random.split(rng)
                     crops = crop_augment(asub, crops)
-                state, metrics = train_step(
-                    state, crops, jnp.asarray(batch["cl_label"]), se_out, sub)
+                state, metrics = train_step(state, crops, labels, se_out, sub)
                 train_losses.append(metrics["loss"])
             train_loss = float(jnp.mean(jnp.stack(train_losses)))
 

@@ -90,6 +90,12 @@ def main(argv=None):
         state, _ = mgr.restore(args.warm_start, state)
         print(f"warm start from {args.warm_start}", flush=True)
 
+    if args.data_parallel and args.engine_forward:
+        # the packed engine train forward is only wired into the single-device
+        # branch below; silently ignoring the flag would misreport what ran
+        raise SystemExit(
+            "--engine-forward is a single-device path; it cannot be combined "
+            "with --data-parallel (the sharded step uses the flax forward)")
     if args.data_parallel and len(jax.devices()) > 1:
         mesh = make_mesh()
         state = replicate(mesh, state)

@@ -183,6 +183,50 @@ def convert_unet_task_alig_weight(
     return b.params, b.stats, b.unused()
 
 
+def _convert_unet_variant(
+    sd: Dict[str, np.ndarray], *, task2: bool, alig: bool
+) -> Tuple[Dict[str, Any], Dict[str, Any], set]:
+    """Shared converter for the non-flagship UNet variants
+    (分割/nets/basicUnet.py:133-368). Unlike the flagship, their fc1/fc2
+    scalar-classification heads are LIVE (basicUnet.py:193-196, 296-299,
+    360-363) and convert to the models' top-level fc1/fc2 Dense params."""
+    b = _TreeBuilder(sd)
+    _convert_conv_batch_norm(b, "inc", "trunk", "inc")
+    for i in range(1, 5):
+        _convert_conv_stack(b, f"down{i}.nConvs", 2, "trunk", f"down{i}", "nConvs")
+    if task2:
+        _convert_transformer(b, "task2", 1, "task2")
+    for i in range(1, 5):
+        b.deconv(f"up{i}.up", f"up{i}", "up")
+        if alig:
+            _convert_coord_att3(b, f"up{i}.cca", f"up{i}", "cca")
+        _convert_conv_stack(b, f"up{i}.nConvs", 2, f"up{i}", "nConvs")
+    b.conv("outc", "outc", "conv")
+    b.linear("fc1", "fc1")
+    b.linear("fc2", "fc2")
+    # UNetTask declares AutomaticWeightedLoss(num=2) as a submodule
+    # (basicUnet.py:271) so its sigma params land in checkpoints; the loss is
+    # never stepped through it — dropped
+    b.used.add("loss_function.params")
+    return b.params, b.stats, b.unused()
+
+
+def convert_unet_basic(sd: Dict[str, np.ndarray]):
+    """UNetBasic (basicUnet.py:133-200): plain UpBlocks, no bottleneck,
+    live (avgpool -> fc1 -> fc2) scalar head."""
+    return _convert_unet_variant(sd, task2=False, alig=False)
+
+
+def convert_unet_task(sd: Dict[str, np.ndarray]):
+    """UNetTask (basicUnet.py:237-304): + TransformerDecoder bottleneck."""
+    return _convert_unet_variant(sd, task2=True, alig=False)
+
+
+def convert_unet_task_alig(sd: Dict[str, np.ndarray]):
+    """UNetTaskAlig (basicUnet.py:305-368): + CoordAtt3-gated skips."""
+    return _convert_unet_variant(sd, task2=True, alig=True)
+
+
 # ------------------------------------------------------------------- GoogLeNet
 
 _GOOGLENET_INCEPTIONS = [

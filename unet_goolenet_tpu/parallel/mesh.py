@@ -118,26 +118,43 @@ def make_tp_dp_cls_train_step(model, tx, mesh: Mesh, *, n_refine=2):
     """tp+dp stage-2 train step: batch over 'data', GoogLeNet wide-tail branch
     convs column-sharded over 'model' by parallel.tp's rules. Same placement
     contract as make_tp_dp_seg_train_step (params sharded by the caller with
-    tp.shard_params, opt_state built after sharding)."""
+    tp.shard_params, opt_state built after sharding).
+
+    NB `mesh` is intentionally unused (kept for API symmetry with the dp
+    factories): no in/out shardings are applied here — placement comes entirely
+    from GSPMD propagation of the caller-sharded params/batch, as tests/test_tp
+    verifies. The same holds for make_tp_dp_seg_train_step above."""
     from unet_goolenet_tpu.train.cls import make_cls_train_step
 
+    del mesh  # see docstring
     step = make_cls_train_step(model, tx, n_refine=n_refine)
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_sharded_pipeline(pipeline, mesh: Mesh):
-    """Shard the fused two-stage inference over 'data': returns a callable
-    (gray (N,H,W)) -> outputs, with N divided across the mesh."""
+def make_sharded_pipeline(pipeline, mesh: Mesh, *, source: str = "gray"):
+    """Shard the fused two-stage inference over 'data': returns a callable with
+    the batch axis divided across the mesh (state replicated). `source` picks
+    the pipeline entry point:
+
+      * "gray"   — fused-from-gray graph (raw (N,H,W) grayscale -> output dict;
+                   分类/test.py:122-134 re-architected, the north-star path)
+      * "rgb"    — host-preprocessed (N,S,S,3) pseudo-RGB -> output dict
+                   (apps/infer_e2e's default ingest path)
+      * "grades" — fused-from-gray, returns ONLY the (N,) int grades
+                   (streaming/serving: nothing bulky crosses the host link)
+    """
     rep = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    jitted = {"gray": pipeline._e2e, "rgb": pipeline._e2e_from_rgb,
+              "grades": pipeline._grades}[source]
 
     fn = jax.jit(
-        pipeline._e2e.__wrapped__,
+        jitted.__wrapped__,
         in_shardings=(rep, rep, data),
         out_shardings=data,
     )
 
-    def run(gray):
-        return fn(pipeline.unet_vars, pipeline.gnet_vars, gray)
+    def run(batch):
+        return fn(pipeline.unet_vars, pipeline.gnet_vars, batch)
 
     return run

@@ -118,14 +118,27 @@ def make_pp_pipeline(pipeline, mesh: Mesh) -> Callable:
     ))
 
     rep = jax.NamedSharding(mesh, P())
-    put = lambda tree: jax.tree_util.tree_map(
-        lambda x: jax.device_put(jax.device_get(x), rep), tree)
-    # pin the var trees to THIS mesh once (they may live on a different/larger
-    # mesh, e.g. the dp mesh in __graft_entry__'s dryrun)
-    uv = put(pipeline.unet_vars)
-    gv = put(pipeline.gnet_vars)
+
+    def _pin(x):
+        # reshard onto THIS mesh (the vars may live on a different/larger mesh,
+        # e.g. the dp mesh in __graft_entry__'s dryrun). device_put reshards
+        # device-to-device when the runtime allows; the device_get fallback
+        # covers cross-backend copies (it round-trips the weights through the
+        # host, which is slow on the ~1 MB/s dev tunnel — once per var tree).
+        try:
+            return jax.device_put(x, rep)
+        except (ValueError, jax.errors.JaxRuntimeError):
+            return jax.device_put(jax.device_get(x), rep)
+
+    put = lambda tree: jax.tree_util.tree_map(_pin, tree)
+    pinned = {}  # re-read pipeline.*_vars each run(); re-pin only when swapped
 
     def run(grays):
+        key = (id(pipeline.unet_vars), id(pipeline.gnet_vars))
+        if pinned.get("key") != key:
+            pinned["key"] = key
+            pinned["vars"] = (put(pipeline.unet_vars), put(pipeline.gnet_vars))
+        uv, gv = pinned["vars"]
         return fn(uv, gv, jax.device_put(grays, rep))
 
     return run
