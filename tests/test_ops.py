@@ -128,6 +128,50 @@ class TestResize:
         np.testing.assert_allclose(j2n_nhwc(got), ref)
 
 
+class TestResizeValid:
+    """resize_bilinear_valid: the size-bucket path's dynamic-extent resize must
+    reproduce jax.image.resize of the unpadded image."""
+
+    @pytest.mark.parametrize("hw", [(37, 53), (40, 48)])
+    def test_matches_static_resize_on_padded_buffer(self, hw):
+        h, w = hw
+        x = rand(h, w)
+        ref = np.asarray(ops.resize_bilinear(jnp.asarray(x), (64, 64),
+                                             antialias=True))
+        xp = np.pad(x, ((0, 96 - h), (0, 96 - w)), mode="edge")
+        fn = jax.jit(lambda b, v: ops.resize_bilinear_valid(b, v, (64, 64)))
+        got = np.asarray(fn(jnp.asarray(xp), jnp.asarray([h, w])))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_dynamic_out_valid_upscale(self):
+        # cA -> native-size upsample inside a padded buffer (cv2 semantics)
+        x = rand(19, 27)
+        ref = np.asarray(ops.resize_bilinear(jnp.asarray(x), (37, 53),
+                                             antialias=False))
+        xp = np.pad(x, ((0, 48 - 19), (0, 48 - 27)), mode="edge")
+        got = np.asarray(ops.resize_bilinear_valid(
+            jnp.asarray(xp), jnp.asarray([19, 27]), (96, 96),
+            out_valid_hw=jnp.asarray([37, 53]), antialias=False))
+        np.testing.assert_allclose(got[:37, :53], ref, rtol=1e-4, atol=1e-5)
+
+
+class TestWaveletPadded:
+    """wavelet_enhance_padded (size buckets): valid-region parity vs the exact
+    path on edge-padded buffers, even and odd native sizes."""
+
+    @pytest.mark.parametrize("hw", [(40, 48), (37, 53)])
+    def test_valid_region_matches_exact(self, hw):
+        h, w = hw
+        gray = (RNG.random((h, w)) * 255).astype(np.float32)
+        exact = np.asarray(ops.wavelet_enhance(jnp.asarray(gray),
+                                               quantize_uint8=False))
+        grayp = np.pad(gray, ((0, 64 - h), (0, 64 - w)), mode="edge")
+        fn = jax.jit(lambda g, v: ops.wavelet_enhance_padded(
+            g, v, quantize_uint8=False))
+        padded = np.asarray(fn(jnp.asarray(grayp), jnp.asarray([h, w])))
+        np.testing.assert_allclose(padded[:h, :w], exact, rtol=1e-4, atol=1e-5)
+
+
 class TestWavelet:
     def test_haar_blocks(self):
         x = rand(8, 8) * 100

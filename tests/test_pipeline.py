@@ -8,6 +8,7 @@ from unet_goolenet_tpu.models import UNetTaskAligWeight, GoogLeNetClassifier
 from unet_goolenet_tpu.pipeline import (
     TwoStagePipeline,
     preprocess_gray,
+    preprocess_gray_padded,
     extract_roi,
 )
 
@@ -40,6 +41,45 @@ class TestPreprocess:
         small = ops.resize_bilinear(gray[0], (48, 48), antialias=True)
         b = ops.wavelet_enhance(small)
         assert float(jnp.abs(a[0] - b).max()) > 1e-3
+
+
+class TestPreprocessPadded:
+    """Size-bucket preprocessing (apps/infer_e2e --size-buckets): images
+    edge-padded into a shared bucket buffer must preprocess like their exact
+    native-shape runs — up/downscale, odd and even native sizes."""
+
+    def test_matches_exact_mixed_sizes(self):
+        import numpy as np
+        BH, BW = 128, 128
+        for h, w in [(40, 48), (37, 53), (100, 120), (127, 99)]:
+            gray = jax.random.uniform(jax.random.PRNGKey(h), (1, h, w)) * 255
+            exact = np.asarray(preprocess_gray(gray, out_hw=(S, S)))
+            gp = np.pad(np.asarray(gray[0]), ((0, BH - h), (0, BW - w)),
+                        mode="edge")
+            padded = np.asarray(preprocess_gray_padded(
+                jnp.asarray(gp)[None], jnp.asarray([[h, w]], jnp.int32),
+                out_hw=(S, S)))
+            # interior is tap-for-tap identical; the last output row/col can
+            # differ where the exact path's antialias kernel drops+renorms
+            # out-of-range taps and the padded path samples edge-replicated
+            # values instead (downscale only; upscale is bit-exact throughout)
+            np.testing.assert_allclose(padded, exact, atol=5e-2)
+            np.testing.assert_allclose(padded[:, :-1, :-1], exact[:, :-1, :-1],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_grades_padded_parity(self):
+        pipe = build_pipeline()
+        BH, BW = 128, 128
+        sizes = [(40, 48), (37, 53), (100, 120), (64, 64)]
+        grays = [np.asarray(jax.random.uniform(jax.random.PRNGKey(i), hw) * 255)
+                 for i, hw in enumerate(sizes)]
+        exact = [int(pipe.infer_grades(jnp.asarray(g)[None])[0]) for g in grays]
+        batch = np.stack([
+            np.pad(g, ((0, BH - g.shape[0]), (0, BW - g.shape[1])), mode="edge")
+            for g in grays])
+        valid = np.asarray(sizes, np.int32)
+        got = list(np.asarray(pipe.infer_grades_padded(jnp.asarray(batch), valid)))
+        assert got == exact, (got, exact)
 
 
 class TestExtractROI:

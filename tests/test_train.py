@@ -200,6 +200,71 @@ class TestMixedPrecision:
                    for l in jax.tree_util.tree_leaves(state.params))
 
 
+class TestCheckpointResharding:
+    def test_tp_dp_save_restores_onto_other_topologies(self, tmp_path):
+        """SURVEY §5.8's remaining failure mode: a checkpoint written under a
+        (4 data x 2 model) tp+dp mesh must restore onto a DIFFERENT topology —
+        (8,1) pure-dp and plain single-device — and continue training
+        step-for-step equivalently (orbax reshards on restore via the target
+        template's shardings)."""
+        from unet_goolenet_tpu.parallel import (
+            make_mesh, make_tp_dp_seg_train_step, replicate, shard_batch,
+            shard_params)
+        from unet_goolenet_tpu.train.checkpoint import CheckpointManager
+        from unet_goolenet_tpu.train.seg import TrainState
+
+        model, tx, host_state = small_seg_setup()
+        imgs = jax.random.uniform(KEY, (8, 32, 32, 3))
+        labels = (jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 1))
+                  > 0.7).astype(jnp.float32)
+
+        def on_mesh(mesh, state):
+            params = shard_params(mesh, state.params)
+            stats = replicate(mesh, state.batch_stats)
+            return TrainState(params, stats, tx.init(params))
+
+        mesh_a = make_mesh(n_data=4, n_model=2)
+        st_a = on_mesh(mesh_a, host_state)
+        step_a = make_tp_dp_seg_train_step(model, tx, mesh_a)
+        batch_a = shard_batch(mesh_a, {"i": imgs, "l": labels})
+        st_a, _ = step_a(st_a, batch_a["i"], batch_a["l"])
+
+        mgr = CheckpointManager(str(tmp_path / "tp_ckpt"))
+        path = mgr.save_best_loss(st_a, epoch=3)
+        # reference continuation on the original mesh (donates st_a)
+        ref_next, ref_metrics = step_a(st_a, batch_a["i"], batch_a["l"])
+        ref_leaves = [np.asarray(l) for l in
+                      jax.tree_util.tree_leaves(ref_next.params)]
+
+        def check(next_state, metrics):
+            np.testing.assert_allclose(float(metrics["loss"]),
+                                       float(ref_metrics["loss"]), rtol=1e-4)
+            leaves = jax.tree_util.tree_leaves(next_state.params)
+            for x, y in zip(ref_leaves, leaves):
+                # identical math, different reduction order across shards
+                np.testing.assert_allclose(x, np.asarray(y),
+                                           rtol=2e-3, atol=4.5e-4)
+
+        # --- restore onto (8,1): tp rules degenerate to replication ---------
+        mesh_b = make_mesh(n_data=8, n_model=1)
+        _, _, fresh = small_seg_setup()
+        template_b = on_mesh(mesh_b, fresh)
+        st_b, epoch = mgr.restore(path, template_b)
+        assert epoch == 3
+        qkv = st_b.params["task2"]["layer0"]["attention1"]["to_qkv"]["kernel"]
+        tq = template_b.params["task2"]["layer0"]["attention1"]["to_qkv"]["kernel"]
+        assert qkv.sharding.is_equivalent_to(tq.sharding, qkv.ndim), qkv.sharding
+        step_b = make_tp_dp_seg_train_step(model, tx, mesh_b)
+        batch_b = shard_batch(mesh_b, {"i": imgs, "l": labels})
+        check(*step_b(st_b, batch_b["i"], batch_b["l"]))
+
+        # --- restore onto a single device (plain host template) -------------
+        _, _, host_template = small_seg_setup()
+        st_s, _ = mgr.restore(path, host_template)
+        step_s = jax.jit(make_seg_train_step(model, tx))
+        check(*step_s(st_s, imgs, labels))
+
+
 class TestCheckpointUnderDP:
     def test_replicated_save_then_host_restore_roundtrip(self, tmp_path):
         """apps/train_seg --data-parallel saves a REPLICATED (mesh-sharded)

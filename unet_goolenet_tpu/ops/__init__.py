@@ -18,8 +18,16 @@ from unet_goolenet_tpu.ops.pool import (
     global_max_pool,
     adaptive_avg_pool,
 )
-from unet_goolenet_tpu.ops.resize import resize_bilinear, resize_nearest
-from unet_goolenet_tpu.ops.wavelet import haar_dwt2, wavelet_enhance
+from unet_goolenet_tpu.ops.resize import (
+    resize_bilinear,
+    resize_bilinear_valid,
+    resize_nearest,
+)
+from unet_goolenet_tpu.ops.wavelet import (
+    haar_dwt2,
+    wavelet_enhance,
+    wavelet_enhance_padded,
+)
 from unet_goolenet_tpu.ops.bbox import mask_to_bbox, crop_and_resize, roi_from_mask
 
 __all__ = [
@@ -33,9 +41,11 @@ __all__ = [
     "global_max_pool",
     "adaptive_avg_pool",
     "resize_bilinear",
+    "resize_bilinear_valid",
     "resize_nearest",
     "haar_dwt2",
     "wavelet_enhance",
+    "wavelet_enhance_padded",
     "mask_to_bbox",
     "crop_and_resize",
     "roi_from_mask",

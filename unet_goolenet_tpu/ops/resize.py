@@ -35,6 +35,58 @@ def resize_bilinear(
     )
 
 
+def resize_bilinear_valid(
+    x: jax.Array,
+    in_valid_hw,
+    out_hw: Tuple[int, int],
+    *,
+    out_valid_hw=None,
+    antialias: bool = True,
+) -> jax.Array:
+    """Bilinear resize of the top-left VALID region of a (possibly padded)
+    HW / HWC buffer, with the valid extents as TRACED scalars.
+
+    The size-bucket serving path (分类/test.py:122-134 batched over mixed raw
+    resolutions) pads each image to a shared bucket buffer so one compiled
+    graph covers many native sizes; this op anchors the interpolation grid to
+    the valid extent instead of the buffer extent:
+
+        sample position of output pixel i = (i + 0.5) * h_in / h_out - 0.5
+
+    exactly `jax.image.resize`'s grid for an (h_in, w_in) image, so the result
+    over the valid output region matches the unpadded resize bit-for-bit apart
+    from boundary kernels that touch padded pixels — which edge-replicated
+    padding (np.pad mode='edge') makes match the clamped border handling
+    (tests/test_ops.py::TestResizeValid).
+
+    in_valid_hw: (h, w) traced scalars — the valid extent of `x`.
+    out_hw: STATIC output buffer shape.
+    out_valid_hw: traced valid extent of the output grid; defaults to out_hw.
+      (Used by wavelet_enhance_padded to upsample DWT bands to the dynamic
+      native size inside a static buffer; output pixels beyond it are
+      extrapolation garbage the caller must mask or ignore.)
+    """
+    oh, ow = out_hw
+    h_in = jnp.asarray(in_valid_hw[0], jnp.float32)
+    w_in = jnp.asarray(in_valid_hw[1], jnp.float32)
+    if out_valid_hw is None:
+        h_out, w_out = jnp.float32(oh), jnp.float32(ow)
+    else:
+        h_out = jnp.asarray(out_valid_hw[0], jnp.float32)
+        w_out = jnp.asarray(out_valid_hw[1], jnp.float32)
+    scale = jnp.stack([h_out / h_in, w_out / w_in])
+    if x.ndim == 3:
+        shape = (oh, ow, x.shape[2])
+    elif x.ndim == 2:
+        shape = (oh, ow)
+    else:
+        raise ValueError(f"unsupported rank {x.ndim}")
+    return jax.image.scale_and_translate(
+        x, shape, (0, 1), scale.astype(x.dtype), jnp.zeros(2, x.dtype),
+        "linear", antialias=antialias,
+    )
+
+
 def resize_nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """Nearest-neighbour resize (mask path, 分割/util/data_utils.py:220-221)."""
     oh, ow = out_hw

@@ -19,7 +19,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from unet_goolenet_tpu.ops.resize import resize_bilinear
+from unet_goolenet_tpu.ops.resize import resize_bilinear, resize_bilinear_valid
 
 _SQRT2 = 1.4142135623730951
 
@@ -83,4 +83,74 @@ def wavelet_enhance(
     r = _minmax_u8(gray, quantize_uint8)
     g = _minmax_u8(low_up, quantize_uint8)
     b = _minmax_u8(high_up, quantize_uint8)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _minmax_u8_valid(x: jax.Array, mask: jax.Array, quantize: bool) -> jax.Array:
+    """_minmax_u8 with the min/max statistics restricted to the valid region
+    (the normalisation itself applies to the whole buffer — out-of-valid
+    pixels just shift along and stay edge-like)."""
+    lo = jnp.min(jnp.where(mask, x, jnp.inf))
+    rng = jnp.max(jnp.where(mask, x, -jnp.inf)) - lo
+    y = jnp.where(rng > 0, (x - lo) / jnp.maximum(rng, 1e-30), jnp.zeros_like(x))
+    if quantize:
+        y = jnp.floor(jnp.clip(y, 0.0, 1.0) * 255.0) / 255.0
+    return y
+
+
+def wavelet_enhance_padded(
+    gray: jax.Array, valid_hw, *, quantize_uint8: bool = True
+) -> jax.Array:
+    """`wavelet_enhance` for an EDGE-padded buffer: the true image is the
+    top-left (h, w) = valid_hw (traced scalars) of the even-sized (H, W)
+    buffer, and pixels beyond it MUST be edge-replicated (np.pad mode='edge').
+
+    This is the size-bucket serving path (分类/test.py:122-134 over mixed raw
+    resolutions): one compiled graph per bucket instead of one per exact
+    (H, W). Semantics notes vs the exact path:
+      * the level-1 Haar blocks are local, so valid-region coefficients equal
+        the exact DWT's; for ODD h/w, the edge-replicated pad row/col
+        reproduces pywt's symmetric padding exactly (haar_dwt2's own pad);
+      * the coefficient buffers are clamp-gathered to the valid block extent
+        before upsampling (pad-region DWT blocks are NOT edge replications of
+        the valid coefficients), which makes the boundary taps reproduce the
+        exact path's renormalised out-of-range handling: a linear tap past the
+        edge with the edge's value gives the same weighted sum resize_bilinear
+        gives after dropping+renormalising that tap;
+      * cA / high-freq magnitude upsample back to the native (h, w) grid via
+        resize_bilinear_valid (dynamic out_valid), matching cv2 INTER_LINEAR
+        on the valid region;
+      * min-max statistics are restricted to the valid region;
+      * outputs beyond (h, w) are edge-replicated-ish values, so a following
+        resize_bilinear_valid's boundary kernels behave like the clamped
+        border of the exact path.
+    """
+    gray = gray.astype(jnp.float32)
+    hh, ww = gray.shape
+    assert hh % 2 == 0 and ww % 2 == 0, "bucket buffers must be even-sized"
+    h = jnp.asarray(valid_hw[0], jnp.int32)
+    w = jnp.asarray(valid_hw[1], jnp.int32)
+    cA, (cH, cV, cD) = haar_dwt2(gray)
+    high = jnp.sqrt(cH * cH + cV * cV + cD * cD)
+    h2, w2 = (h + 1) // 2, (w + 1) // 2  # pywt ceil for odd dims
+    ridx = jnp.minimum(jnp.arange(hh // 2), h2 - 1)
+    cidx = jnp.minimum(jnp.arange(ww // 2), w2 - 1)
+    cA = cA[ridx][:, cidx]
+    high = high[ridx][:, cidx]
+    low_up = resize_bilinear_valid(cA, (h2, w2), (hh, ww),
+                                   out_valid_hw=(h, w), antialias=False)
+    high_up = resize_bilinear_valid(high, (h2, w2), (hh, ww),
+                                    out_valid_hw=(h, w), antialias=False)
+    # Edge-replicate the region beyond (h, w): out-of-valid sample positions
+    # can fall past the coefficient buffer (odd h makes h2 == hh//2 exactly),
+    # where scale_and_translate zeroes every tap — a later resize's boundary
+    # kernel would read those zeros instead of edge values.
+    orid = jnp.minimum(jnp.arange(hh), h - 1)
+    ocid = jnp.minimum(jnp.arange(ww), w - 1)
+    low_up = low_up[orid][:, ocid]
+    high_up = high_up[orid][:, ocid]
+    mask = (jnp.arange(hh)[:, None] < h) & (jnp.arange(ww)[None, :] < w)
+    r = _minmax_u8_valid(gray, mask, quantize_uint8)
+    g = _minmax_u8_valid(low_up, mask, quantize_uint8)
+    b = _minmax_u8_valid(high_up, mask, quantize_uint8)
     return jnp.stack([r, g, b], axis=-1)

@@ -142,19 +142,25 @@ def make_sharded_pipeline(pipeline, mesh: Mesh, *, source: str = "gray"):
                    (apps/infer_e2e's default ingest path)
       * "grades" — fused-from-gray, returns ONLY the (N,) int grades
                    (streaming/serving: nothing bulky crosses the host link)
+      * "grades_padded" — size-bucket serving (edge-padded grays + per-image
+                   valid sizes, both sharded over 'data'; apps/infer_e2e
+                   --size-buckets --data-parallel)
     """
     rep = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     jitted = {"gray": pipeline._e2e, "rgb": pipeline._e2e_from_rgb,
-              "grades": pipeline._grades}[source]
+              "grades": pipeline._grades,
+              "grades_padded": pipeline._grades_padded}[source]
+    n_batch_args = 2 if source == "grades_padded" else 1
 
     fn = jax.jit(
         jitted.__wrapped__,
-        in_shardings=(rep, rep, data),
+        in_shardings=(rep, rep) + (data,) * n_batch_args,
         out_shardings=data,
     )
 
-    def run(batch):
-        return fn(pipeline.unet_vars, pipeline.gnet_vars, batch)
+    def run(*batch_args):
+        batch_args = tuple(jnp.asarray(b) for b in batch_args)
+        return fn(pipeline.unet_vars, pipeline.gnet_vars, *batch_args)
 
     return run

@@ -46,6 +46,24 @@ def preprocess_gray(
     return ops.resize_bilinear(enhanced, out_hw, antialias=True)
 
 
+def preprocess_gray_padded(
+    gray: jax.Array, valid_hw: jax.Array, *,
+    out_hw: Tuple[int, int] = (224, 224), quantize_uint8: bool = True,
+) -> jax.Array:
+    """Size-bucket variant of preprocess_gray: gray is (N, H, W) with each
+    image edge-padded (np.pad mode='edge') into the shared bucket buffer and
+    valid_hw (N, 2) carrying the true per-image sizes. Wavelet + min-max run
+    mask-aware over the valid region, and the final antialiased resize anchors
+    to it — so normalisation and geometry match the exact-shape path
+    (分类/test.py:127-130) up to boundary-kernel effects."""
+
+    def one(g, vhw):
+        rgb = ops.wavelet_enhance_padded(g, vhw, quantize_uint8=quantize_uint8)
+        return ops.resize_bilinear_valid(rgb, vhw, out_hw, antialias=True)
+
+    return jax.vmap(one)(gray, valid_hw)
+
+
 def segment(unet, unet_vars, imgs: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """UNet forward + threshold: returns (logits (N,H,W,1), masks (N,H,W))."""
     logits = unet.apply(unet_vars, imgs, train=False)
@@ -147,10 +165,19 @@ class TwoStagePipeline:
             # dev tunnel, returning the full dict costs seconds of transfer)
             return _e2e(unet_vars, gnet_vars, gray)["grades"]
 
+        def _grades_padded(unet_vars, gnet_vars, gray, valid_hw):
+            # size-bucket serving: mixed native resolutions share one compiled
+            # graph per bucket (apps/infer_e2e --size-buckets)
+            imgs = preprocess_gray_padded(gray, valid_hw, out_hw=hw).astype(dtype)
+            _, masks = _seg(unet_vars, imgs)
+            crops, _ = extract_roi(imgs, masks, padding=padding, out_hw=hw)
+            return jnp.argmax(_cls(gnet_vars, crops), axis=-1)
+
         self._e2e = jax.jit(_e2e)
         self._e2e_from_rgb = jax.jit(_e2e_from_rgb)
         self._masks = jax.jit(_masks)
         self._grades = jax.jit(_grades_only)
+        self._grades_padded = jax.jit(_grades_padded)
 
     def infer_from_gray(self, gray: jax.Array) -> dict:
         """Full pipeline from raw grayscale (N, H, W) in [0, 255]."""
@@ -159,6 +186,12 @@ class TwoStagePipeline:
     def infer_grades(self, gray: jax.Array) -> jax.Array:
         """Throughput variant: raw grayscale -> (N,) int grades, nothing else."""
         return self._grades(self.unet_vars, self.gnet_vars, gray)
+
+    def infer_grades_padded(self, gray: jax.Array, valid_hw) -> jax.Array:
+        """Size-bucket variant: (N, H, W) edge-padded grays + (N, 2) valid
+        sizes -> (N,) grades. One compile per bucket shape."""
+        return self._grades_padded(self.unet_vars, self.gnet_vars, gray,
+                                   jnp.asarray(valid_hw, jnp.int32))
 
     def infer_from_rgb(self, imgs: jax.Array) -> dict:
         """Pipeline from already-preprocessed (N, S, S, 3) images in [0, 1]."""

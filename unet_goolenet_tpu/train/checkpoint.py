@@ -16,6 +16,7 @@ import shutil
 from typing import Optional
 
 import numpy as np
+import jax
 import orbax.checkpoint as ocp
 
 from unet_goolenet_tpu.train.seg import TrainState
@@ -79,10 +80,31 @@ class CheckpointManager:
             "epoch": np.asarray(0, np.int64),
         }
         restored = self._ckpt.restore(os.path.abspath(path), target)
+
+        # Orbax places most leaves on the template's shardings, but scalar
+        # leaves (e.g. optax's step count) can come back COMMITTED to a single
+        # device, which then clashes with mesh-placed params inside a jitted
+        # step. Re-pin each leaf to the template's placement: committed
+        # template leaf -> device_put to its sharding (this is what makes
+        # save-under-one-mesh / resume-under-another work,
+        # tests/test_train.py::TestCheckpointResharding); uncommitted template
+        # leaf (e.g. tx.init's eager scalar count) -> strip any commitment the
+        # restore added so jit remains free to place it.
+        def _pin(r, t):
+            if isinstance(t, jax.Array) and getattr(t, "_committed", False):
+                return jax.device_put(r, t.sharding)
+            if isinstance(r, jax.Array) and getattr(r, "_committed", False):
+                return jax.numpy.asarray(np.asarray(r))
+            return r
+
+        pinned = {
+            k: jax.tree_util.tree_map(_pin, restored[k], target[k])
+            for k in ("params", "batch_stats", "opt_state")
+        }
         state = TrainState(
-            params=restored["params"],
-            batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
+            params=pinned["params"],
+            batch_stats=pinned["batch_stats"],
+            opt_state=pinned["opt_state"],
         )
         return state, int(restored["epoch"])
 
