@@ -95,3 +95,23 @@ class TestPackedForward:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             rtol=1e-1, atol=1e-1)
+
+
+class TestFusedUp1Tail:
+    def test_fused_tail_matches_packed_engine(self):
+        """unet_forward_packed(fused_up1=True) (the Pallas up1+outc tail,
+        interpret mode on CPU) == the XLA packed forward up to f32 summation
+        order."""
+        from unet_goolenet_tpu.ops import pallas as pk
+
+        pk.interpret_mode(True)
+        model = UNetTaskAligWeight(n_classes=1)
+        x = jax.random.uniform(KEY, (2, 64, 64, 3))
+        variables = model.init({"params": KEY}, x, train=False)
+        _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": mut["batch_stats"]}
+        ref = engine.unet_forward_packed(variables, x)
+        got = engine.unet_forward_packed(variables, x, fused_up1=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)

@@ -197,3 +197,69 @@ class TestMaxPool:
         torch.nn.functional.max_pool2d(xt, 2).sum().backward()
         np.testing.assert_array_equal(
             np.asarray(g), xt.grad.numpy().transpose(0, 2, 3, 1))
+
+
+class TestFusedUp1:
+    """fused_up1_outc vs the XLA packed chain (pipeline/engine._up_alig_p
+    semantics rebuilt from ops.packed): deconv -> d2 -> gate-combine ->
+    split-sum pair -> block1 -> outc, per row-tile in VMEM."""
+
+    def _xla_ref(self, x_p, e1_p, gate, ws):
+        from unet_goolenet_tpu.ops import packed as P
+        c = x_p.shape[-1] // 2
+        up = P.conv_transpose2x2_p(x_p, ws["w_up"], ws["b_up"])
+        d2 = P.conv3x3_pp(up, P.expand_weights_pp(ws["w_d2"]), ws["b_d2"],
+                          relu=True)
+        gated = e1_p + P.scale_p(d2, gate) + d2
+        h = P.conv3x3_pp2(up, P.expand_weights_pp(ws["w_pair"][:, :, :c]),
+                          gated, P.expand_weights_pp(ws["w_pair"][:, :, c:]),
+                          ws["b_pair"], relu=True)
+        y = P.conv3x3_pp(h, P.expand_weights_pp(ws["w_blk1"]), ws["b_blk1"],
+                         relu=True)
+        return P.conv1x1_p(y, ws["w_outc"], ws["b_outc"])
+
+    @pytest.mark.parametrize("tile_rows", [16, 8, 4])
+    def test_matches_xla_packed_chain(self, tile_rows):
+        n, h, wp, c = 2, 32, 8, 8
+        x_p = rand(n, h // 2, wp // 2, 2 * c)
+        e1_p = rand(n, h, wp, 2 * c)
+        gate = jnp.abs(rand(n, 1, 1, c)) * 0.5
+        ws = {
+            "w_up": rand(2, 2, c, c) * 0.3, "b_up": rand(c),
+            "w_d2": rand(3, 3, c, c) * 0.3, "b_d2": rand(c),
+            "w_pair": rand(3, 3, 2 * c, c) * 0.3, "b_pair": rand(c),
+            "w_blk1": rand(3, 3, c, c) * 0.3, "b_blk1": rand(c),
+            "w_outc": rand(c, 1), "b_outc": rand(1),
+        }
+        ref = self._xla_ref(x_p, e1_p, gate, ws)
+        gate_p1 = jnp.tile(1.0 + gate[:, 0, 0, :], (1, 2))
+        got = pk.fused_up1_outc(
+            x_p, e1_p, gate_p1,
+            ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"],
+            ws["w_pair"], ws["b_pair"], ws["w_blk1"], ws["b_blk1"],
+            ws["w_outc"], ws["b_outc"], tile_rows=tile_rows)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_multiclass_outc(self):
+        n, h, wp, c = 1, 16, 4, 8
+        x_p = rand(n, h // 2, wp // 2, 2 * c)
+        e1_p = rand(n, h, wp, 2 * c)
+        gate = jnp.abs(rand(n, 1, 1, c))
+        ws = {
+            "w_up": rand(2, 2, c, c) * 0.3, "b_up": rand(c),
+            "w_d2": rand(3, 3, c, c) * 0.3, "b_d2": rand(c),
+            "w_pair": rand(3, 3, 2 * c, c) * 0.3, "b_pair": rand(c),
+            "w_blk1": rand(3, 3, c, c) * 0.3, "b_blk1": rand(c),
+            "w_outc": rand(c, 3), "b_outc": rand(3),
+        }
+        ref = self._xla_ref(x_p, e1_p, gate, ws)
+        gate_p1 = jnp.tile(1.0 + gate[:, 0, 0, :], (1, 2))
+        got = pk.fused_up1_outc(
+            x_p, e1_p, gate_p1,
+            ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"],
+            ws["w_pair"], ws["b_pair"], ws["w_blk1"], ws["b_blk1"],
+            ws["w_outc"], ws["b_outc"], tile_rows=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -185,15 +185,17 @@ def main(argv=None):
                                input_shape=(1, args.img_size, args.img_size, 3))
     cls_state, _ = CheckpointManager(".").restore(args.gnet_checkpoint, cls_state)
 
+    use_dp = args.data_parallel and len(jax.devices()) > 1
     pipe = TwoStagePipeline(
         unet, {"params": seg_state.params, "batch_stats": seg_state.batch_stats},
         gnet, {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
-        img_size=args.img_size, dtype=dtype)
+        img_size=args.img_size, dtype=dtype,
+        fused_up1=False if use_dp else None)
 
     grade_fn = None
     grade_padded_fn = None
     rgb_fn = pipe.infer_from_rgb
-    if args.data_parallel and len(jax.devices()) > 1:
+    if use_dp:
         from unet_goolenet_tpu.parallel import make_mesh, make_sharded_pipeline
 
         mesh = make_mesh()

@@ -23,6 +23,7 @@ reference for future hardware where the trade-off shifts).
 """
 
 from unet_goolenet_tpu.ops.pallas import conv as _conv_mod
+from unet_goolenet_tpu.ops.pallas import up1 as _up1_mod
 from unet_goolenet_tpu.ops.pallas.conv import (
     fused_conv3x3,
     fused_conv3x3_or_fallback,
@@ -31,11 +32,13 @@ from unet_goolenet_tpu.ops.pallas.conv import (
     conv_transpose2x2_pallas,
     max_pool2x2_pallas,
 )
+from unet_goolenet_tpu.ops.pallas.up1 import fused_up1_outc
 
 
 def interpret_mode(on: bool = True) -> None:
     """Force interpreter execution (for CPU tests)."""
     _conv_mod._INTERPRET = on
+    _up1_mod._INTERPRET = on
 
 
 __all__ = [
@@ -45,5 +48,6 @@ __all__ = [
     "fused_convstack2_or_fallback",
     "conv_transpose2x2_pallas",
     "max_pool2x2_pallas",
+    "fused_up1_outc",
     "interpret_mode",
 ]

@@ -1,0 +1,298 @@
+"""Fused packed up1 + outc Pallas kernel — the serving hot spot.
+
+The flagship UNet's last decoder level (up1: ConvTranspose 64->64 @112^2 ->
+CoordAtt3 gate -> concat+double ConvBatchNorm @224^2, reference
+分割/nets/basicUnet.py:115-129,201-231) is ~40% of the fused e2e graph at
+~28% of the matmul roofline in the XLA packed form (benchmarks/RESULTS.md
+r2b): eight HBM round trips over (N,224,112,128)-sized tensors dominate.
+
+This kernel runs the whole level in two passes:
+
+  * gate pass (plain XLA, pipeline/engine.py): e1 = ConvBatchNorm(skip) and
+    its global (H,W) mean/max -> the 1x1 squeeze-excite gate. The global
+    reduction forces the split: no output tile can be produced before the
+    gate is known.
+  * THIS kernel, per (batch, row-tile) grid step, entirely VMEM-resident:
+        deconv(x) -> d2 = ConvBatchNorm(up) -> gated = e1 + (1+gate)*d2
+        -> h = relu(conv(up,Wa) + conv(gated,Wb) + b)   (split-sum concat)
+        -> y = ConvBatchNorm(h) -> logits = y @ w_outc + b_outc
+    HBM traffic collapses to read(x) + read(e1) + write(logits) — the
+    (N,224,112,128) intermediates up/d2/gated/h never leave VMEM.
+
+Packed-conv math: the XLA packed path pays 2x logical FLOPs (expanded
+weights with half-zero blocks, ops/packed.py). Here each packed 3x3 conv is
+6 dense-ish (M,128)@(128,128) matmuls per row-tile via the (S, U)
+decomposition:
+
+    S = the packed tile itself; per ky, S @ Wc covers every tap that stays
+        inside the same packed column (even-out dx=0,+1; odd-out dx=-1,0) —
+        Wc is fully dense;
+    U = [S_odd shifted one column right | S_even shifted one column left]
+        built once per source tensor; per ky, U @ Wu covers the two
+        cross-column taps (even-out dx=-1, odd-out dx=+1) — Wu is half
+        dense.
+
+FLOPs = 6*128*128 per output packed column per ky vs logical 2px*3dx*64*64
+-> 1.33x, with every matmul at full 128-lane MXU occupancy.
+
+Halos: output row tile [a, a+TH) needs up rows [a-3, a+TH+3) and e1 rows
+[a-2, a+TH+2); inputs are row-padded (+2) in XLA so the kernel's manual
+async-copies use static sizes and never clamp, and each stage adds its bias
+only on rows inside the real image (so out-of-image halo rows stay exactly
+zero, matching conv zero padding). The 2x2/s2 deconv needs no halo of its
+own (output row pair 2i,2i+1 depends only on input row i).
+
+Oracle: tests/test_pallas.py::TestFusedUp1 vs the XLA packed chain
+(pipeline/engine._up_alig_p + ops.packed.conv1x1_p), interpret mode on CPU
+and the same tolerance class as test_packed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+# ------------------------------------------------------------ weight prep
+
+
+def make_su_weights(w: jax.Array):
+    """Logical (3, 3, C, C) conv kernel -> (Wc, Wu), each (3, 2C, 2C).
+
+    Wc[ky] rows 0:C   (even-in, col 2j)  -> [even-out dx=0: W[ky,1] | odd-out dx=-1: W[ky,0]]
+    Wc[ky] rows C:2C  (odd-in, col 2j+1) -> [even-out dx=+1: W[ky,2] | odd-out dx=0: W[ky,1]]
+    Wu[ky] rows 0:C   (odd(j-1))         -> [even-out dx=-1: W[ky,0] | 0]
+    Wu[ky] rows C:2C  (even(j+1))        -> [0 | odd-out dx=+1: W[ky,2]]
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3) and cin == cout
+    c = cin
+    wc = jnp.zeros((3, 2 * c, 2 * c), w.dtype)
+    wu = jnp.zeros((3, 2 * c, 2 * c), w.dtype)
+    for ky in range(3):
+        wc = wc.at[ky, :c, :c].set(w[ky, 1])
+        wc = wc.at[ky, :c, c:].set(w[ky, 0])
+        wc = wc.at[ky, c:, :c].set(w[ky, 2])
+        wc = wc.at[ky, c:, c:].set(w[ky, 1])
+        wu = wu.at[ky, :c, :c].set(w[ky, 0])
+        wu = wu.at[ky, c:, c:].set(w[ky, 2])
+    return wc, wu
+
+
+def make_deconv_weights(w: jax.Array):
+    """(2, 2, C, C) transposed-conv kernel -> (Wd0, Wd1), each (2C, 4C).
+
+    For output row parity di, input packed col c holds logical cols 2c (lanes
+    0:C) and 2c+1 (lanes C:2C); logical col j emits out packed col P=j with
+    lanes [dj=0 | dj=1] = x[j] @ [w[di,0] | w[di,1]]. Reshaping the (.., 4C)
+    product to (.., 2, 2C) interleaves even/odd out packed cols contiguously.
+    """
+    _, _, cin, cout = w.shape
+    assert cin == cout
+    c = cin
+    outs = []
+    for di in range(2):
+        wcat = jnp.concatenate([w[di, 0], w[di, 1]], axis=-1)  # (C, 2C)
+        w2 = jnp.zeros((2 * c, 4 * c), w.dtype)
+        w2 = w2.at[:c, :2 * c].set(wcat).at[c:, 2 * c:].set(wcat)
+        outs.append(w2)
+    return outs[0], outs[1]
+
+
+# ------------------------------------------------------------ kernel
+
+
+def _conv_su(src, wc_ref, wu_ref, wslot, n_out, src_off, wp, c2, acc):
+    """Accumulate the packed 3x3 conv of `src` into acc (f32, (n_out*wp, c2)).
+
+    src: (R, wp, c2) VMEM value with R >= src_off + n_out + 2; out row k's
+    center tap is src row src_off + k + 1. wc_ref/wu_ref hold stacked conv
+    weights; wslot selects this conv's (3, c2, c2) block.
+    """
+    c = c2 // 2
+    s = src[src_off:src_off + n_out + 2]
+    zc = jnp.zeros((s.shape[0], 1, c), s.dtype)
+    u = jnp.concatenate([
+        jnp.concatenate([zc, s[:, :-1, c:]], axis=1),
+        jnp.concatenate([s[:, 1:, :c], zc], axis=1),
+    ], axis=-1)
+    for ky in range(3):
+        sk = s[ky:ky + n_out].reshape(n_out * wp, c2)
+        uk = u[ky:ky + n_out].reshape(n_out * wp, c2)
+        acc = acc + jnp.dot(sk, wc_ref[wslot, ky],
+                            preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(uk, wu_ref[wslot, ky],
+                            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _row_mask(n_rows, start, h, wp):
+    """(n_rows*wp, 1) f32 mask of rows whose global index is inside [0, h)."""
+    gr = jax.lax.broadcasted_iota(jnp.int32, (n_rows, wp), 0) + start
+    ok = (gr >= 0) & (gr < h)
+    return ok.reshape(n_rows * wp, 1)
+
+
+def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
+                bias_ref, w1_ref, b1_ref, out_ref, xbuf, e1buf, sems, *,
+                th, h, wp, c2, ncls2, dtype):
+    ni = pl.program_id(0)
+    i = pl.program_id(1)
+    a = i * th
+    c = c2 // 2
+    rx = th // 2 + 4
+
+    cp_x = pltpu.make_async_copy(
+        x_pad_ref.at[ni, pl.ds(a // 2, rx)], xbuf, sems.at[0])
+    cp_e = pltpu.make_async_copy(
+        e1_pad_ref.at[ni, pl.ds(a, th + 4)], e1buf, sems.at[1])
+    cp_x.start()
+    cp_e.start()
+    cp_x.wait()
+
+    # ---- deconv: x rows [a/2-2, a/2+th/2+2) -> up rows [a-4, a+th+4) ----
+    x = xbuf[:]                                     # (rx, wp//2, c2)
+    xm = x.reshape(rx * (wp // 2), c2)
+    o0 = jnp.dot(xm, wd_ref[0], preferred_element_type=jnp.float32)
+    o1 = jnp.dot(xm, wd_ref[1], preferred_element_type=jnp.float32)
+    o0 = o0.reshape(rx, wp, c2)                     # (.., 2, 2C) col-interleave
+    o1 = o1.reshape(rx, wp, c2)
+    up = jnp.stack([o0, o1], axis=1).reshape(2 * rx, wp, c2)
+    upm = _row_mask(2 * rx, a - 4, h, wp).reshape(2 * rx, wp, 1)
+    up = (up + bias_ref[3][None, None, :] * upm).astype(dtype)
+
+    # ---- d2 = relu(conv(up) + b), rows [a-2, a+th+2) ----
+    # Halo rows outside the real image must be ZERO (the next conv's zero
+    # padding): the window overlaps real rows there, so mask the whole
+    # output, not just the bias.
+    n_d2 = th + 4
+    acc = jnp.zeros((n_d2 * wp, c2), jnp.float32)
+    acc = _conv_su(up, wc_ref, wu_ref, 0, n_d2, 1, wp, c2, acc)
+    acc = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
+    acc = acc * _row_mask(n_d2, a - 2, h, wp)
+    d2 = acc.astype(dtype).reshape(n_d2, wp, c2)
+
+    # ---- gated = e1 + (1 + gate) * d2, rows [a-2, a+th+2) ----
+    cp_e.wait()
+    gated = e1buf[:] + (gate_ref[0][None, None, :] * d2).astype(dtype)
+
+    # ---- h = relu(conv(up, Wa) + conv(gated, Wb) + b), rows [a-1, a+th+1) --
+    n_h = th + 2
+    acc = jnp.zeros((n_h * wp, c2), jnp.float32)
+    acc = _conv_su(up, wc_ref, wu_ref, 1, n_h, 2, wp, c2, acc)
+    acc = _conv_su(gated, wc_ref, wu_ref, 2, n_h, 0, wp, c2, acc)
+    acc = jnp.maximum(acc + bias_ref[1][None, :], 0.0)
+    acc = acc * _row_mask(n_h, a - 1, h, wp)
+    hh = acc.astype(dtype).reshape(n_h, wp, c2)
+
+    # ---- y = relu(conv(h) + b), rows [a, a+th); then outc 1x1 ----
+    acc = jnp.zeros((th * wp, c2), jnp.float32)
+    acc = _conv_su(hh, wc_ref, wu_ref, 3, th, 0, wp, c2, acc)
+    y = jnp.maximum(acc + bias_ref[2][None, :], 0.0).astype(dtype)
+    logits = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    logits = logits + b1_ref[0][None, :]
+    out_ref[0] = logits.reshape(th, wp, ncls2).astype(out_ref.dtype)
+
+
+# ------------------------------------------------------------ wrapper
+
+
+def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
+                   w_up: jax.Array, b_up: jax.Array,
+                   w_d2: jax.Array, b_d2: jax.Array,
+                   w_pair: jax.Array, b_pair: jax.Array,
+                   w_blk1: jax.Array, b_blk1: jax.Array,
+                   w_outc: jax.Array, b_outc: jax.Array,
+                   *, tile_rows: Optional[int] = None) -> jax.Array:
+    """Packed up1 level + outc as one fused kernel.
+
+    x_p: (N, H/2, Wp/2, 2C) packed input (the up2 tail output);
+    e1_p: (N, H, Wp, 2C) packed ConvBatchNorm(skip) from the gate pass;
+    gate_p1: (N, 2C) per-image (1 + sigmoid gate), channel-tiled;
+    w_up/b_up: (2,2,C,C)/(C,) transposed conv; w_d2/b_d2: folded (3,3,C,C)
+    CoordAtt3 conv2_e; w_pair/b_pair: folded (3,3,2C,C) nConvs.block0 (input
+    = concat[up, gated]); w_blk1/b_blk1: folded (3,3,C,C) nConvs.block1;
+    w_outc/b_outc: (C, ncls)/(ncls,) 1x1.
+    Returns packed logits (N, H, Wp, 2*ncls).
+    """
+    n, h2, wp2, c2 = x_p.shape
+    h, wp = 2 * h2, 2 * wp2
+    c = c2 // 2
+    ncls = w_outc.shape[-1]
+    dtype = x_p.dtype
+
+    if tile_rows is None:
+        tile_rows = 16 if h % 16 == 0 else None
+        if tile_rows is None:
+            for t in (14, 8, 4, 2):
+                if h % t == 0:
+                    tile_rows = t
+                    break
+    th = tile_rows
+    assert h % th == 0 and th % 2 == 0, (h, th)
+
+    wd0, wd1 = make_deconv_weights(w_up.astype(dtype))
+    wd = jnp.stack([wd0, wd1])
+    wcs, wus = [], []
+    for w3 in (w_d2, w_pair[:, :, :c], w_pair[:, :, c:], w_blk1):
+        wc_, wu_ = make_su_weights(w3.astype(dtype))
+        wcs.append(wc_)
+        wus.append(wu_)
+    wc = jnp.stack(wcs)                        # (4, 3, 2C, 2C)
+    wu = jnp.stack(wus)
+    biases = jnp.stack([
+        jnp.tile(b_d2.astype(jnp.float32), 2),
+        jnp.tile(b_pair.astype(jnp.float32), 2),
+        jnp.tile(b_blk1.astype(jnp.float32), 2),
+        jnp.tile(b_up.astype(jnp.float32), 2),
+    ])                                         # (4, 2C)
+    ncls2 = 2 * ncls
+    w1 = jnp.zeros((c2, ncls2), dtype)
+    w1 = w1.at[:c, :ncls].set(w_outc.astype(dtype))
+    w1 = w1.at[c:, ncls:].set(w_outc.astype(dtype))
+    b1 = jnp.tile(b_outc.astype(jnp.float32), 2)[None]   # (1, 2*ncls)
+
+    x_pad = jnp.pad(x_p, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    e1_pad = jnp.pad(e1_p, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    gate = gate_p1.astype(dtype)
+
+    kernel = functools.partial(
+        _up1_kernel, th=th, h=h, wp=wp, c2=c2, ncls2=ncls2, dtype=dtype)
+    rep = lambda ni, i: (0, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, c2), lambda ni, i: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c2, 2 * c2), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 3, c2, c2), lambda ni, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 3, c2, c2), lambda ni, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c2), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2, ncls2), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncls2), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, wp, ncls2), lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wp, ncls2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th // 2 + 4, wp // 2, c2), dtype),
+            pltpu.VMEM((th + 4, wp, c2), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_INTERPRET,
+    )(x_pad, e1_pad, gate, wd, wc, wu, biases, w1, b1)

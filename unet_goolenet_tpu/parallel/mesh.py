@@ -146,6 +146,11 @@ def make_sharded_pipeline(pipeline, mesh: Mesh, *, source: str = "gray"):
                    valid sizes, both sharded over 'data'; apps/infer_e2e
                    --size-buckets --data-parallel)
     """
+    if getattr(pipeline, "fused_up1", False):
+        raise ValueError(
+            "make_sharded_pipeline needs a TwoStagePipeline built with "
+            "fused_up1=False: a pallas_call cannot be GSPMD-partitioned, so "
+            "the mesh-sharded runners use the XLA up1 tail")
     rep = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     jitted = {"gray": pipeline._e2e, "rgb": pipeline._e2e_from_rgb,

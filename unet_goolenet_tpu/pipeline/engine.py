@@ -248,13 +248,56 @@ def _up_alig_p(x_p, skip_p, p, s, dtype):
     return _cbn_pp(h_p, p["nConvs"]["block1"], s["nConvs"]["block1"], dtype)
 
 
-def unet_forward_packed(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
+def _gate_p(e1_p, p):
+    """CoordAtt3's squeeze-excite gate from the packed e1 activation:
+    (N,1,1,C) sigmoid gate (nets/tasks.py CoordAtt3, via engine._coord_att3)."""
+    avg, mx = P.mean_max_hw_p(e1_p)
+    return jax.nn.sigmoid(_conv1x1(
+        jax.nn.relu(_conv1x1(avg, p["fc_avg"])) +
+        jax.nn.relu(_conv1x1(mx, p["fc_max"])), p["fc_out"]))
+
+
+def unet_forward_packed_tail_fused(variables: Dict[str, Any], y_p, x1_p,
+                                   dtype) -> jax.Array:
+    """up1 + outc via the fused Pallas kernel (ops/pallas/up1.py).
+
+    The gate pass stays XLA (e1 ConvBatchNorm + global mean/max + 1x1 gate —
+    a global reduction no tile-local kernel can absorb); everything after runs
+    in one VMEM-resident kernel: deconv -> d2 -> gate-combine -> split-sum
+    pair -> block1 -> outc. Returns packed logits (N, H, Wp, 2*ncls)."""
+    from unet_goolenet_tpu.ops.pallas import up1 as PU
+
+    p = variables["params"]
+    s = variables["batch_stats"]
+    u = p["up1"]
+    us = s["up1"]
+    e1_p = _cbn_pp(x1_p, u["cca"]["conv1_e"]["block0"],
+                   us["cca"]["conv1_e"]["block0"], dtype)
+    gate = _gate_p(e1_p, u["cca"])                       # (N,1,1,C)
+    gate_p1 = jnp.tile(1.0 + gate[:, 0, 0, :], (1, 2))   # (N, 2C)
+    w_d2, b_d2 = _fold(u["cca"]["conv2_e"]["block0"],
+                       us["cca"]["conv2_e"]["block0"])
+    w_pair, b_pair = _fold(u["nConvs"]["block0"], us["nConvs"]["block0"])
+    w_blk1, b_blk1 = _fold(u["nConvs"]["block1"], us["nConvs"]["block1"])
+    return PU.fused_up1_outc(
+        y_p, e1_p, gate_p1,
+        u["up"]["kernel"], u["up"]["bias"],
+        w_d2, b_d2, w_pair, b_pair, w_blk1, b_blk1,
+        p["outc"]["conv"]["kernel"][0, 0], p["outc"]["conv"]["bias"])
+
+
+def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
+                        *, fused_up1: bool = False) -> jax.Array:
     """Engine forward with the 64-channel levels in pixel-packed layout.
 
     Numerically identical to `unet_forward` up to f32 summation order
     (tests/test_engine.py::TestPackedForward); measured 1.13x on the whole
     forward on the v5e, with the padded 64-lane levels providing the gains
     (benchmarks/RESULTS.md r2b). Requires an even image width.
+
+    fused_up1=True additionally runs the up1+outc tail as the fused Pallas
+    kernel (single-device serving graphs only — a pallas_call can't be GSPMD-
+    partitioned, so the mesh-sharded runners keep the XLA tail).
     """
     p = variables["params"]
     s = variables["batch_stats"]
@@ -295,6 +338,9 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
                   s["up2"]["nConvs"]["block1"], dtype)
 
     # up1: fully packed (skip x1 never left packed layout)
+    if fused_up1 and hh % 2 == 0:
+        return P.unpack(unet_forward_packed_tail_fused(variables, y_p, x1_p,
+                                                       dtype))
     y_p = _up_alig_p(y_p, x1_p, p["up1"], s["up1"], dtype)
     out_p = P.conv1x1_p(y_p, p["outc"]["conv"]["kernel"][0, 0],
                         p["outc"]["conv"]["bias"])

@@ -95,7 +95,8 @@ class TwoStagePipeline:
     """
 
     def __init__(self, unet, unet_vars, gnet, gnet_vars, *, img_size: int = 224,
-                 padding: int = 30, dtype=jnp.float32, use_engine: bool = True):
+                 padding: int = 30, dtype=jnp.float32, use_engine: bool = True,
+                 fused_up1: bool = None):
         self.unet = unet
         self.gnet = gnet
         self.unet_vars = unet_vars
@@ -104,6 +105,11 @@ class TwoStagePipeline:
         self.padding = padding
         self.dtype = dtype
         self.use_engine = use_engine
+        if fused_up1 is None:
+            # the Pallas up1 kernel compiles on TPU backends only; CPU runs
+            # (tests, virtual-mesh dryruns) default to the XLA tail.
+            fused_up1 = jax.default_backend() not in ("cpu",)
+        self.fused_up1 = fused_up1
 
         hw = (img_size, img_size)
 
@@ -113,9 +119,11 @@ class TwoStagePipeline:
         # path stays available with use_engine=False for bit-level debugging.
         # The 64-channel levels additionally run in pixel-packed layout
         # (ops/packed.py; measured 1.13x on the whole UNet forward) whenever
-        # the image width is even.
-        unet_engine_fwd = (_engine.unet_forward_packed if img_size % 2 == 0
-                           else _engine.unet_forward)
+        # the image width is even; fused_up1 runs the up1+outc tail as ONE
+        # VMEM-resident Pallas kernel (ops/pallas/up1.py).
+        unet_engine_fwd = (
+            partial(_engine.unet_forward_packed, fused_up1=fused_up1)
+            if img_size % 2 == 0 else _engine.unet_forward)
 
         def _seg(unet_vars, imgs):
             if use_engine:
