@@ -263,3 +263,24 @@ class TestFusedUp1:
             ws["w_outc"], ws["b_outc"], tile_rows=8)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestFusedCbnStats:
+    def test_conv_and_stats_match_oracle(self):
+        """fused_cbn_stats == conv3x3_pp + mean_max_hw_p (the up1 gate pass)."""
+        from unet_goolenet_tpu.ops import packed as P
+        from unet_goolenet_tpu.ops.pallas.up1 import fused_cbn_stats
+
+        n, h, wp, c = 2, 16, 6, 8
+        x_p = rand(n, h, wp, 2 * c)
+        w = rand(3, 3, c, c) * 0.3
+        b = rand(c)
+        ref_e1 = P.conv3x3_pp(x_p, P.expand_weights_pp(w), b, relu=True)
+        ravg, rmax = P.mean_max_hw_p(ref_e1)
+        e1, mean, mx = fused_cbn_stats(x_p, w, b, tile_rows=4)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(ref_e1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(ravg),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mx), np.asarray(rmax),
+                                   rtol=1e-4, atol=1e-5)

@@ -109,6 +109,23 @@ def make_deconv_weights(w: jax.Array):
 # ------------------------------------------------------------ kernel
 
 
+def _build_u(s):
+    """U operand: U[j] = [S_odd(j-1) | S_even(j+1)] via layout-preserving
+    rolls + a lane select (Mosaic cannot concatenate vectors whose lane
+    offsets differ on a non-concat dim — measured compile error, so no
+    pad+slice+concat forms here)."""
+    r, wp, c2 = s.shape
+    c = c2 // 2
+    sr = pltpu.roll(s, c, 2)               # halves swapped: [odd | even]
+    a = pltpu.roll(sr, 1, 1)               # [odd(j-1) | even(j-1)]
+    b = pltpu.roll(sr, wp - 1, 1)          # [odd(j+1) | even(j+1)] (shift>=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, wp, c2), 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, wp, c2), 1)
+    u = jnp.where(lane < c, a, b)
+    edge = ((lane < c) & (col == 0)) | ((lane >= c) & (col == wp - 1))
+    return jnp.where(edge, jnp.zeros_like(u), u)
+
+
 def _conv_su(src, wc_ref, wu_ref, wslot, n_out, src_off, wp, c2, acc):
     """Accumulate the packed 3x3 conv of `src` into acc (f32, (n_out*wp, c2)).
 
@@ -116,13 +133,8 @@ def _conv_su(src, wc_ref, wu_ref, wslot, n_out, src_off, wp, c2, acc):
     center tap is src row src_off + k + 1. wc_ref/wu_ref hold stacked conv
     weights; wslot selects this conv's (3, c2, c2) block.
     """
-    c = c2 // 2
     s = src[src_off:src_off + n_out + 2]
-    zc = jnp.zeros((s.shape[0], 1, c), s.dtype)
-    u = jnp.concatenate([
-        jnp.concatenate([zc, s[:, :-1, c:]], axis=1),
-        jnp.concatenate([s[:, 1:, :c], zc], axis=1),
-    ], axis=-1)
+    u = _build_u(s)
     for ky in range(3):
         sk = s[ky:ky + n_out].reshape(n_out * wp, c2)
         uk = u[ky:ky + n_out].reshape(n_out * wp, c2)
@@ -134,10 +146,12 @@ def _conv_su(src, wc_ref, wu_ref, wslot, n_out, src_off, wp, c2, acc):
 
 
 def _row_mask(n_rows, start, h, wp):
-    """(n_rows*wp, 1) f32 mask of rows whose global index is inside [0, h)."""
-    gr = jax.lax.broadcasted_iota(jnp.int32, (n_rows, wp), 0) + start
-    ok = (gr >= 0) & (gr < h)
-    return ok.reshape(n_rows * wp, 1)
+    """(n_rows*wp, 1) f32 mask of rows whose global index is inside [0, h).
+
+    Built directly in the final 2D shape from a 32-bit iota: Mosaic cannot
+    reshape i1 vectors with minor-dim insertion (measured compile error)."""
+    gr = jax.lax.broadcasted_iota(jnp.int32, (n_rows * wp, 1), 0) // wp + start
+    return jnp.where((gr >= 0) & (gr < h), 1.0, 0.0)
 
 
 def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
@@ -199,6 +213,104 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     logits = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
     logits = logits + b1_ref[0][None, :]
     out_ref[0] = logits.reshape(th, wp, ncls2).astype(out_ref.dtype)
+
+
+# ---------------------------------------------------- gate-pass kernel
+
+
+def _cbn_stats_kernel(x_pad_ref, wc_ref, wu_ref, bias_ref, e1_ref, stat_ref,
+                      xbuf, sems, *, th, wp, c2, dtype):
+    """relu(conv3x3_pp(x) + b) + running per-image (sum, max) over (H, W).
+
+    stat_ref is revisited across the sequential row-tile grid (the TPU grid
+    is sequential, same pattern as the conv backward dw kernel): row 0
+    accumulates the channel sums, row 1 the channel maxes, per lane-half.
+    """
+    ni = pl.program_id(0)
+    i = pl.program_id(1)
+    a = i * th
+
+    cp = pltpu.make_async_copy(
+        x_pad_ref.at[ni, pl.ds(a, th + 2)], xbuf, sems.at[0])
+    cp.start()
+    cp.wait()
+
+    acc = jnp.zeros((th * wp, c2), jnp.float32)
+    acc = _conv_su(xbuf[:], wc_ref, wu_ref, 0, th, 0, wp, c2, acc)
+    y = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
+    e1_ref[0] = y.reshape(th, wp, c2).astype(dtype)
+
+    tile_sum = jnp.sum(y, axis=0, keepdims=True)
+    tile_max = jnp.max(y, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        stat_ref[0, 0:1] = tile_sum
+        stat_ref[0, 1:2] = tile_max
+
+    @pl.when(i > 0)
+    def _():
+        stat_ref[0, 0:1] = stat_ref[0, 0:1] + tile_sum
+        stat_ref[0, 1:2] = jnp.maximum(stat_ref[0, 1:2], tile_max)
+
+
+def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
+                    *, tile_rows: Optional[int] = None):
+    """Packed ConvBatchNorm (folded w, b; relu) + global per-channel mean/max
+    in ONE pass — the up1 gate pass (CoordAtt3's conv1_e + squeeze stats,
+    分割/nets/tasks.py CoordAtt3) without re-reading the activation from HBM.
+
+    x_p: (N, H, Wp, 2C); w: (3, 3, C, C) logical folded kernel; b: (C,).
+    Returns (e1_p (N, H, Wp, 2C), mean (N,1,1,C), max (N,1,1,C)).
+    """
+    n, h, wp, c2 = x_p.shape
+    c = c2 // 2
+    dtype = x_p.dtype
+    th = tile_rows
+    if th is None:
+        for t in (16, 8, 4, 2, 1):
+            if h % t == 0:
+                th = t
+                break
+
+    wc, wu = make_su_weights(w.astype(dtype))
+    bias = jnp.tile(b.astype(jnp.float32), 2)[None]       # (1, 2C)
+    x_pad = jnp.pad(x_p, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    kernel = functools.partial(_cbn_stats_kernel, th=th, wp=wp, c2=c2,
+                               dtype=dtype)
+    e1, stats = pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3, c2, c2), lambda ni, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, c2, c2), lambda ni, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, th, wp, c2), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c2), lambda ni, i: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, wp, c2), dtype),
+            jax.ShapeDtypeStruct((n, 2, c2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wp, c2), dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=_INTERPRET,
+    )(x_pad, wc[None], wu[None], bias)
+
+    mean = ((stats[:, 0, :c] + stats[:, 0, c:]) / (h * 2 * wp))
+    mx = jnp.maximum(stats[:, 1, :c], stats[:, 1, c:])
+    return e1, mean[:, None, None, :], mx[:, None, None, :]
 
 
 # ------------------------------------------------------------ wrapper

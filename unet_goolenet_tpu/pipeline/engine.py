@@ -248,32 +248,29 @@ def _up_alig_p(x_p, skip_p, p, s, dtype):
     return _cbn_pp(h_p, p["nConvs"]["block1"], s["nConvs"]["block1"], dtype)
 
 
-def _gate_p(e1_p, p):
-    """CoordAtt3's squeeze-excite gate from the packed e1 activation:
-    (N,1,1,C) sigmoid gate (nets/tasks.py CoordAtt3, via engine._coord_att3)."""
-    avg, mx = P.mean_max_hw_p(e1_p)
-    return jax.nn.sigmoid(_conv1x1(
-        jax.nn.relu(_conv1x1(avg, p["fc_avg"])) +
-        jax.nn.relu(_conv1x1(mx, p["fc_max"])), p["fc_out"]))
-
-
 def unet_forward_packed_tail_fused(variables: Dict[str, Any], y_p, x1_p,
                                    dtype) -> jax.Array:
-    """up1 + outc via the fused Pallas kernel (ops/pallas/up1.py).
+    """up1 + outc via the fused Pallas kernels (ops/pallas/up1.py).
 
-    The gate pass stays XLA (e1 ConvBatchNorm + global mean/max + 1x1 gate —
-    a global reduction no tile-local kernel can absorb); everything after runs
-    in one VMEM-resident kernel: deconv -> d2 -> gate-combine -> split-sum
-    pair -> block1 -> outc. Returns packed logits (N, H, Wp, 2*ncls)."""
+    The gate pass runs as its own kernel (e1 ConvBatchNorm + the global
+    mean/max accumulated across the row-tile grid — the global reduction is
+    why the level splits in two); the tiny 1x1 squeeze-excite gate stays XLA.
+    Everything after runs in one VMEM-resident kernel: deconv -> d2 ->
+    gate-combine -> split-sum pair -> block1 -> outc. Returns packed logits
+    (N, H, Wp, 2*ncls)."""
     from unet_goolenet_tpu.ops.pallas import up1 as PU
 
     p = variables["params"]
     s = variables["batch_stats"]
     u = p["up1"]
     us = s["up1"]
-    e1_p = _cbn_pp(x1_p, u["cca"]["conv1_e"]["block0"],
-                   us["cca"]["conv1_e"]["block0"], dtype)
-    gate = _gate_p(e1_p, u["cca"])                       # (N,1,1,C)
+    w_e1, b_e1 = _fold(u["cca"]["conv1_e"]["block0"],
+                       us["cca"]["conv1_e"]["block0"])
+    e1_p, avg, mx = PU.fused_cbn_stats(x1_p, w_e1, b_e1)
+    gate = jax.nn.sigmoid(_conv1x1(
+        jax.nn.relu(_conv1x1(avg.astype(dtype), u["cca"]["fc_avg"])) +
+        jax.nn.relu(_conv1x1(mx.astype(dtype), u["cca"]["fc_max"])),
+        u["cca"]["fc_out"]))                             # (N,1,1,C)
     gate_p1 = jnp.tile(1.0 + gate[:, 0, 0, :], (1, 2))   # (N, 2C)
     w_d2, b_d2 = _fold(u["cca"]["conv2_e"]["block0"],
                        us["cca"]["conv2_e"]["block0"])
