@@ -1,0 +1,98 @@
+"""On-chip parity + timing for the fused up1 Pallas kernels vs the XLA packed
+chain (benchmarks/RESULTS.md r2b: up1 = 21.48 ms of the 50.57 ms packed UNet
+forward at batch 64 bf16 — the target of VERDICT r2 #1).
+
+Stage 1: small-shape parity (cheap compile; catches Mosaic lowering errors).
+Stage 2: production shape (batch 64, 224^2, 64ch, bf16), scan-timed.
+"""
+import sys, time, functools, numpy as np, jax, jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from unet_goolenet_tpu.ops import packed as P
+from unet_goolenet_tpu.ops import pallas as pk
+from unet_goolenet_tpu.ops.pallas.up1 import fused_cbn_stats
+
+rng = np.random.default_rng(1)
+
+
+def make_ws(c, scale=0.1):
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32)) * scale
+    return dict(w_up=r(2,2,c,c), b_up=r(c), w_e1=r(3,3,c,c), b_e1=r(c),
+                w_d2=r(3,3,c,c), b_d2=r(c), w_pair=r(3,3,2*c,c), b_pair=r(c),
+                w_blk1=r(3,3,c,c), b_blk1=r(c), w_outc=r(c,1), b_outc=r(1))
+
+
+def xla_chain(x_p, x1_p, ws, c):
+    e1 = P.conv3x3_pp(x1_p, P.expand_weights_pp(ws["w_e1"]), ws["b_e1"], relu=True)
+    avg, mx = P.mean_max_hw_p(e1)
+    gate = jax.nn.sigmoid(avg + mx)  # stand-in for the tiny fc gate (same shape)
+    up = P.conv_transpose2x2_p(x_p, ws["w_up"], ws["b_up"])
+    d2 = P.conv3x3_pp(up, P.expand_weights_pp(ws["w_d2"]), ws["b_d2"], relu=True)
+    gated = e1 + P.scale_p(d2, gate) + d2
+    hh = P.conv3x3_pp2(up, P.expand_weights_pp(ws["w_pair"][:,:,:c]), gated,
+                       P.expand_weights_pp(ws["w_pair"][:,:,c:]), ws["b_pair"], relu=True)
+    y = P.conv3x3_pp(hh, P.expand_weights_pp(ws["w_blk1"]), ws["b_blk1"], relu=True)
+    return P.conv1x1_p(y, ws["w_outc"], ws["b_outc"])
+
+
+def fused_chain(x_p, x1_p, ws, c):
+    e1, avg, mx = fused_cbn_stats(x1_p, ws["w_e1"], ws["b_e1"])
+    gate = jax.nn.sigmoid(avg + mx).astype(x_p.dtype)
+    gate_p1 = jnp.tile(1.0 + gate[:, 0, 0, :], (1, 2))
+    return pk.fused_up1_outc(x_p, e1, gate_p1,
+        ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"], ws["w_pair"], ws["b_pair"],
+        ws["w_blk1"], ws["b_blk1"], ws["w_outc"], ws["b_outc"])
+
+
+def scan_time(fn, args, k=30):
+    # the carry perturbs the input each iteration, or XLA hoists the whole
+    # (loop-invariant) computation out of the scan and times nothing
+    @jax.jit
+    def loop(args):
+        def body(carry, _):
+            out = fn(args[0] + carry.astype(args[0].dtype) * 1e-12, *args[1:])
+            return jnp.sum(out.astype(jnp.float32)), None
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+        return s
+    np.asarray(loop(args))  # compile+warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(loop(args))
+        best = min(best, time.time() - t0)
+    return best / k * 1000
+
+
+def main():
+    print(jax.devices(), flush=True)
+    # ---- stage 1: parity, small f32 ----
+    c = 64
+    ws = make_ws(c)
+    n, h, wp = 1, 32, 16
+    x_p = jnp.asarray(rng.standard_normal((n, h//2, wp//2, 2*c)).astype(np.float32))
+    x1_p = jnp.asarray(rng.standard_normal((n, h, wp, 2*c)).astype(np.float32))
+    ref = np.asarray(jax.jit(functools.partial(xla_chain, ws=ws, c=c))(x_p, x1_p))
+    print("stage1 ref done", flush=True)
+    got = np.asarray(jax.jit(functools.partial(fused_chain, ws=ws, c=c))(x_p, x1_p))
+    d = np.abs(got - ref).max()
+    print(f"stage1 parity maxdiff {d:.2e}", flush=True)
+    assert d < 1e-3, d
+
+    # ---- stage 2: production shape bf16, scan-timed ----
+    n, h, wp = 64, 224, 112
+    dt = jnp.bfloat16
+    x_p = jnp.asarray(rng.standard_normal((n, h//2, wp//2, 2*c)).astype(np.float32)).astype(dt)
+    x1_p = jnp.asarray(rng.standard_normal((n, h, wp, 2*c)).astype(np.float32)).astype(dt)
+    wsd = {k2: v for k2, v in ws.items()}
+    t_xla = scan_time(functools.partial(xla_chain, ws=wsd, c=c), (x_p, x1_p))
+    print(f"XLA packed up1 level: {t_xla:.2f} ms/batch64", flush=True)
+    t_fused = scan_time(functools.partial(fused_chain, ws=wsd, c=c), (x_p, x1_p))
+    print(f"fused Pallas up1 level: {t_fused:.2f} ms/batch64  ({t_xla/t_fused:.2f}x)", flush=True)
+    # bf16 parity sanity at production shape
+    a = np.asarray(jax.jit(functools.partial(xla_chain, ws=wsd, c=c))(x_p[:2], x1_p[:2]), np.float32)
+    b = np.asarray(jax.jit(functools.partial(fused_chain, ws=wsd, c=c))(x_p[:2], x1_p[:2]), np.float32)
+    print(f"bf16 prod-shape maxdiff {np.abs(a-b).max():.3f} (bf16 rounding scale)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

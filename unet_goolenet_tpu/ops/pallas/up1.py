@@ -195,7 +195,7 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
 
     # ---- gated = e1 + (1 + gate) * d2, rows [a-2, a+th+2) ----
     cp_e.wait()
-    gated = e1buf[:] + (gate_ref[0][None, None, :] * d2).astype(dtype)
+    gated = e1buf[:] + (gate_ref[0, 0][None, None, :] * d2).astype(dtype)
 
     # ---- h = relu(conv(up, Wa) + conv(gated, Wb) + b), rows [a-1, a+th+1) --
     n_h = th + 2
@@ -373,7 +373,10 @@ def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
 
     x_pad = jnp.pad(x_p, ((0, 0), (2, 2), (0, 0), (0, 0)))
     e1_pad = jnp.pad(e1_p, ((0, 0), (2, 2), (0, 0), (0, 0)))
-    gate = gate_p1.astype(dtype)
+    # (N, 1, 2C): a batch-indexed block needs its second-minor dim to equal
+    # the full array dim (Pallas TPU block-shape rule), so give the gate a
+    # singleton row dim instead of blocking (1, 2C) out of (N, 2C)
+    gate = gate_p1.astype(dtype)[:, None, :]
 
     kernel = functools.partial(
         _up1_kernel, th=th, h=h, wp=wp, c2=c2, ncls2=ncls2, dtype=dtype)
@@ -384,7 +387,7 @@ def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, c2), lambda ni, i: (ni, 0),
+            pl.BlockSpec((1, 1, c2), lambda ni, i: (ni, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, c2, 2 * c2), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 3, c2, c2), lambda ni, i: (0, 0, 0, 0),
