@@ -116,6 +116,12 @@ def _build_u(s):
     pad+slice+concat forms here)."""
     r, wp, c2 = s.shape
     c = c2 // 2
+    dt = s.dtype
+    if jnp.dtype(dt).itemsize < 4:
+        # Mosaic rotate is 32-bit only ("Rotate with non-32-bit data:
+        # not implemented", measured on-chip at bf16) — upcast around the
+        # rolls; VPU-only cost, tiny next to the MXU work
+        s = s.astype(jnp.float32)
     sr = pltpu.roll(s, c, 2)               # halves swapped: [odd | even]
     a = pltpu.roll(sr, 1, 1)               # [odd(j-1) | even(j-1)]
     b = pltpu.roll(sr, wp - 1, 1)          # [odd(j+1) | even(j+1)] (shift>=0)
@@ -123,7 +129,7 @@ def _build_u(s):
     col = jax.lax.broadcasted_iota(jnp.int32, (r, wp, c2), 1)
     u = jnp.where(lane < c, a, b)
     edge = ((lane < c) & (col == 0)) | ((lane >= c) & (col == wp - 1))
-    return jnp.where(edge, jnp.zeros_like(u), u)
+    return jnp.where(edge, jnp.zeros_like(u), u).astype(dt)
 
 
 def _conv_su(src, wc_ref, wu_ref, wslot, n_out, src_off, wp, c2, acc):
