@@ -35,13 +35,14 @@ def xla_chain(x_p, x1_p, ws, c):
     return P.conv1x1_p(y, ws["w_outc"], ws["b_outc"])
 
 
-def fused_chain(x_p, x1_p, ws, c):
+def fused_chain(x_p, x1_p, ws, c, tile_rows=None):
     e1, avg, mx = fused_cbn_stats(x1_p, ws["w_e1"], ws["b_e1"])
     gate = jax.nn.sigmoid(avg + mx).astype(x_p.dtype)
     gate_p1 = jnp.tile(1.0 + gate[:, 0, 0, :], (1, 2))
     return pk.fused_up1_outc(x_p, e1, gate_p1,
         ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"], ws["w_pair"], ws["b_pair"],
-        ws["w_blk1"], ws["b_blk1"], ws["w_outc"], ws["b_outc"])
+        ws["w_blk1"], ws["b_blk1"], ws["w_outc"], ws["b_outc"],
+        tile_rows=tile_rows)
 
 
 def scan_time(fn, args, k=30):
@@ -86,8 +87,12 @@ def main():
     wsd = {k2: v for k2, v in ws.items()}
     t_xla = scan_time(functools.partial(xla_chain, ws=wsd, c=c), (x_p, x1_p))
     print(f"XLA packed up1 level: {t_xla:.2f} ms/batch64", flush=True)
-    t_fused = scan_time(functools.partial(fused_chain, ws=wsd, c=c), (x_p, x1_p))
-    print(f"fused Pallas up1 level: {t_fused:.2f} ms/batch64  ({t_xla/t_fused:.2f}x)", flush=True)
+    for th in (16, 28, 56):
+        t_fused = scan_time(
+            functools.partial(fused_chain, ws=wsd, c=c, tile_rows=th),
+            (x_p, x1_p))
+        print(f"fused Pallas up1 level (th={th}): {t_fused:.2f} ms/batch64  "
+              f"({t_xla/t_fused:.2f}x)", flush=True)
     # bf16 parity sanity at production shape
     a = np.asarray(jax.jit(functools.partial(xla_chain, ws=wsd, c=c))(x_p[:2], x1_p[:2]), np.float32)
     b = np.asarray(jax.jit(functools.partial(fused_chain, ws=wsd, c=c))(x_p[:2], x1_p[:2]), np.float32)
