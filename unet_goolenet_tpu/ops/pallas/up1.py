@@ -109,41 +109,53 @@ def make_deconv_weights(w: jax.Array):
 # ------------------------------------------------------------ kernel
 
 
-def _build_u(s):
-    """U operand: U[j] = [S_odd(j-1) | S_even(j+1)] via layout-preserving
-    rolls + a lane select (Mosaic cannot concatenate vectors whose lane
-    offsets differ on a non-concat dim — measured compile error, so no
-    pad+slice+concat forms here)."""
-    r, wp, c2 = s.shape
+def _sel_masks(wp, c2):
+    """The two (1, wp, c2) lane/column selectors for the U operand, built
+    ONCE per kernel invocation (v1 rebuilt two full-size iotas per conv call
+    — pure VPU waste on the hot path)."""
     c = c2 // 2
-    dt = s.dtype
-    if jnp.dtype(dt).itemsize < 4:
-        # Mosaic rotate is 32-bit only ("Rotate with non-32-bit data:
-        # not implemented", measured on-chip at bf16) — upcast around the
-        # rolls; VPU-only cost, tiny next to the MXU work
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp, c2), 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, c2), 1)
+    sel_a = (lane < c) & (col > 0)
+    sel_b = (lane >= c) & (col < wp - 1)
+    return sel_a, sel_b
+
+
+def _build_u(s, sel_a, sel_b, out_dtype):
+    """U operand: U[j] = [S_odd(j-1) | S_even(j+1)] via layout-preserving
+    rolls + lane selects (Mosaic cannot concatenate vectors whose lane
+    offsets differ on a non-concat dim — measured compile error, so no
+    pad+slice+concat forms here).
+
+    Pass `s` as the f32 pre-downcast value when the producing stage has one
+    (deconv/conv accumulators): Mosaic rotate is 32-bit only ("Rotate with
+    non-32-bit data: not implemented", measured on-chip at bf16), so a bf16
+    input costs an extra upcast pass here.
+    """
+    if jnp.dtype(s.dtype).itemsize < 4:
         s = s.astype(jnp.float32)
-    sr = pltpu.roll(s, c, 2)               # halves swapped: [odd | even]
+    c2 = s.shape[-1]
+    wp = s.shape[1]
+    sr = pltpu.roll(s, c2 // 2, 2)         # halves swapped: [odd | even]
     a = pltpu.roll(sr, 1, 1)               # [odd(j-1) | even(j-1)]
     b = pltpu.roll(sr, wp - 1, 1)          # [odd(j+1) | even(j+1)] (shift>=0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (r, wp, c2), 2)
-    col = jax.lax.broadcasted_iota(jnp.int32, (r, wp, c2), 1)
-    u = jnp.where(lane < c, a, b)
-    edge = ((lane < c) & (col == 0)) | ((lane >= c) & (col == wp - 1))
-    return jnp.where(edge, jnp.zeros_like(u), u).astype(dt)
+    u = jnp.where(sel_a, a, jnp.where(sel_b, b, jnp.zeros_like(b)))
+    return u.astype(out_dtype)
 
 
-def _conv_su(src, wc_ref, wu_ref, wslot, n_out, src_off, wp, c2, acc):
-    """Accumulate the packed 3x3 conv of `src` into acc (f32, (n_out*wp, c2)).
+def _conv_su(s, u, wc_ref, wu_ref, wslot, n_out, src_off, wp, c2, acc):
+    """Accumulate the packed 3x3 conv into acc (f32, (n_out*wp, c2)).
 
-    src: (R, wp, c2) VMEM value with R >= src_off + n_out + 2; out row k's
-    center tap is src row src_off + k + 1. wc_ref/wu_ref hold stacked conv
-    weights; wslot selects this conv's (3, c2, c2) block.
+    s/u: (R, wp, c2) source and its prebuilt U operand (R >= src_off + n_out
+    + 2); out row k's center tap is row src_off + k + 1. wc_ref/wu_ref hold
+    stacked conv weights; wslot selects this conv's (3, c2, c2) block.
+    Prebuilding U lets sources feeding two convs (up -> d2 AND the pair
+    conv) pay the roll/select cost once.
     """
-    s = src[src_off:src_off + n_out + 2]
-    u = _build_u(s)
     for ky in range(3):
-        sk = s[ky:ky + n_out].reshape(n_out * wp, c2)
-        uk = u[ky:ky + n_out].reshape(n_out * wp, c2)
+        r0 = src_off + ky
+        sk = s[r0:r0 + n_out].reshape(n_out * wp, c2)
+        uk = u[r0:r0 + n_out].reshape(n_out * wp, c2)
         acc = acc + jnp.dot(sk, wc_ref[wslot, ky],
                             preferred_element_type=jnp.float32)
         acc = acc + jnp.dot(uk, wu_ref[wslot, ky],
@@ -165,28 +177,57 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
                 th, h, wp, c2, ncls2, dtype):
     ni = pl.program_id(0)
     i = pl.program_id(1)
+    n_im = pl.num_programs(0)
+    n_t = pl.num_programs(1)
     a = i * th
-    c = c2 // 2
     rx = th // 2 + 4
 
-    cp_x = pltpu.make_async_copy(
-        x_pad_ref.at[ni, pl.ds(a // 2, rx)], xbuf, sems.at[0])
-    cp_e = pltpu.make_async_copy(
-        e1_pad_ref.at[ni, pl.ds(a, th + 4)], e1buf, sems.at[1])
-    cp_x.start()
-    cp_e.start()
-    cp_x.wait()
+    # Double-buffered input DMAs: issue the NEXT grid step's copies before
+    # waiting on this step's, so HBM reads ride under this step's compute
+    # (v1 start+wait'ed inside the step — every step ate the full DMA
+    # latency cold).
+    t = ni * n_t + i
+    slot = jax.lax.rem(t, 2)
+
+    def cp_x(ni_, i_, s_):
+        return pltpu.make_async_copy(
+            x_pad_ref.at[ni_, pl.ds((i_ * th) // 2, rx)], xbuf.at[s_],
+            sems.at[s_, 0])
+
+    def cp_e(ni_, i_, s_):
+        return pltpu.make_async_copy(
+            e1_pad_ref.at[ni_, pl.ds(i_ * th, th + 4)], e1buf.at[s_],
+            sems.at[s_, 1])
+
+    @pl.when(t == 0)
+    def _():
+        cp_x(ni, i, slot).start()
+        cp_e(ni, i, slot).start()
+
+    nt = t + 1
+
+    @pl.when(nt < n_im * n_t)
+    def _():
+        ni2 = nt // n_t
+        i2 = jax.lax.rem(nt, n_t)
+        cp_x(ni2, i2, 1 - slot).start()
+        cp_e(ni2, i2, 1 - slot).start()
+
+    sel_a, sel_b = _sel_masks(wp, c2)
+    cp_x(ni, i, slot).wait()
 
     # ---- deconv: x rows [a/2-2, a/2+th/2+2) -> up rows [a-4, a+th+4) ----
-    x = xbuf[:]                                     # (rx, wp//2, c2)
+    x = xbuf[slot]                                  # (rx, wp//2, c2)
     xm = x.reshape(rx * (wp // 2), c2)
     o0 = jnp.dot(xm, wd_ref[0], preferred_element_type=jnp.float32)
     o1 = jnp.dot(xm, wd_ref[1], preferred_element_type=jnp.float32)
     o0 = o0.reshape(rx, wp, c2)                     # (.., 2, 2C) col-interleave
     o1 = o1.reshape(rx, wp, c2)
-    up = jnp.stack([o0, o1], axis=1).reshape(2 * rx, wp, c2)
+    upf = jnp.stack([o0, o1], axis=1).reshape(2 * rx, wp, c2)
     upm = _row_mask(2 * rx, a - 4, h, wp).reshape(2 * rx, wp, 1)
-    up = (up + bias_ref[3][None, None, :] * upm).astype(dtype)
+    upf = upf + bias_ref[3][None, None, :] * upm
+    up = upf.astype(dtype)
+    u_up = _build_u(upf, sel_a, sel_b, dtype)       # shared by d2 + pair conv
 
     # ---- d2 = relu(conv(up) + b), rows [a-2, a+th+2) ----
     # Halo rows outside the real image must be ZERO (the next conv's zero
@@ -194,27 +235,30 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     # output, not just the bias.
     n_d2 = th + 4
     acc = jnp.zeros((n_d2 * wp, c2), jnp.float32)
-    acc = _conv_su(up, wc_ref, wu_ref, 0, n_d2, 1, wp, c2, acc)
+    acc = _conv_su(up, u_up, wc_ref, wu_ref, 0, n_d2, 1, wp, c2, acc)
     acc = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
     acc = acc * _row_mask(n_d2, a - 2, h, wp)
     d2 = acc.astype(dtype).reshape(n_d2, wp, c2)
 
     # ---- gated = e1 + (1 + gate) * d2, rows [a-2, a+th+2) ----
-    cp_e.wait()
-    gated = e1buf[:] + (gate_ref[0, 0][None, None, :] * d2).astype(dtype)
+    cp_e(ni, i, slot).wait()
+    gated = e1buf[slot] + (gate_ref[0, 0][None, None, :] * d2).astype(dtype)
+    u_gated = _build_u(gated, sel_a, sel_b, dtype)
 
     # ---- h = relu(conv(up, Wa) + conv(gated, Wb) + b), rows [a-1, a+th+1) --
     n_h = th + 2
     acc = jnp.zeros((n_h * wp, c2), jnp.float32)
-    acc = _conv_su(up, wc_ref, wu_ref, 1, n_h, 2, wp, c2, acc)
-    acc = _conv_su(gated, wc_ref, wu_ref, 2, n_h, 0, wp, c2, acc)
+    acc = _conv_su(up, u_up, wc_ref, wu_ref, 1, n_h, 2, wp, c2, acc)
+    acc = _conv_su(gated, u_gated, wc_ref, wu_ref, 2, n_h, 0, wp, c2, acc)
     acc = jnp.maximum(acc + bias_ref[1][None, :], 0.0)
     acc = acc * _row_mask(n_h, a - 1, h, wp)
-    hh = acc.astype(dtype).reshape(n_h, wp, c2)
+    hhf = acc.reshape(n_h, wp, c2)
+    hh = hhf.astype(dtype)
+    u_hh = _build_u(hhf, sel_a, sel_b, dtype)
 
     # ---- y = relu(conv(h) + b), rows [a, a+th); then outc 1x1 ----
     acc = jnp.zeros((th * wp, c2), jnp.float32)
-    acc = _conv_su(hh, wc_ref, wu_ref, 3, th, 0, wp, c2, acc)
+    acc = _conv_su(hh, u_hh, wc_ref, wu_ref, 3, th, 0, wp, c2, acc)
     y = jnp.maximum(acc + bias_ref[2][None, :], 0.0).astype(dtype)
     logits = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
     logits = logits + b1_ref[0][None, :]
@@ -231,18 +275,37 @@ def _cbn_stats_kernel(x_pad_ref, wc_ref, wu_ref, bias_ref, e1_ref, stat_ref,
     stat_ref is revisited across the sequential row-tile grid (the TPU grid
     is sequential, same pattern as the conv backward dw kernel): row 0
     accumulates the channel sums, row 1 the channel maxes, per lane-half.
+    Input DMA double-buffered across grid steps like _up1_kernel.
     """
     ni = pl.program_id(0)
     i = pl.program_id(1)
-    a = i * th
+    n_im = pl.num_programs(0)
+    n_t = pl.num_programs(1)
+    t = ni * n_t + i
+    slot = jax.lax.rem(t, 2)
 
-    cp = pltpu.make_async_copy(
-        x_pad_ref.at[ni, pl.ds(a, th + 2)], xbuf, sems.at[0])
-    cp.start()
-    cp.wait()
+    def cp(ni_, i_, s_):
+        return pltpu.make_async_copy(
+            x_pad_ref.at[ni_, pl.ds(i_ * th, th + 2)], xbuf.at[s_],
+            sems.at[s_])
 
+    @pl.when(t == 0)
+    def _():
+        cp(ni, i, slot).start()
+
+    nt = t + 1
+
+    @pl.when(nt < n_im * n_t)
+    def _():
+        cp(nt // n_t, jax.lax.rem(nt, n_t), 1 - slot).start()
+
+    sel_a, sel_b = _sel_masks(wp, c2)
+    cp(ni, i, slot).wait()
+
+    s = xbuf[slot]
+    u = _build_u(s, sel_a, sel_b, s.dtype)
     acc = jnp.zeros((th * wp, c2), jnp.float32)
-    acc = _conv_su(xbuf[:], wc_ref, wu_ref, 0, th, 0, wp, c2, acc)
+    acc = _conv_su(s, u, wc_ref, wu_ref, 0, th, 0, wp, c2, acc)
     y = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
     e1_ref[0] = y.reshape(th, wp, c2).astype(dtype)
 
@@ -308,9 +371,13 @@ def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
             jax.ShapeDtypeStruct((n, 2, c2), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, wp, c2), dtype),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, th + 2, wp, c2), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_INTERPRET,
     )(x_pad, wc[None], wu[None], bias)
 
@@ -411,9 +478,13 @@ def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wp, ncls2), dtype),
         scratch_shapes=[
-            pltpu.VMEM((th // 2 + 4, wp // 2, c2), dtype),
-            pltpu.VMEM((th + 4, wp, c2), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, th // 2 + 4, wp // 2, c2), dtype),
+            pltpu.VMEM((2, th + 4, wp, c2), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_INTERPRET,
     )(x_pad, e1_pad, gate, wd, wc, wu, biases, w1, b1)
