@@ -58,6 +58,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False  # flipped by tests on CPU
+# Perf-ablation switch for benchmarks/up1_bench.py --ablate (NEVER set in
+# production: math becomes wrong). Tokens: nobuild (U := S, skips the
+# roll/select builds), nosk / nowu (drop half the conv dots), nomask (skip
+# halo row-mask multiplies), nodma (skip input copies; stale scratch data).
+_ABLATE: frozenset = frozenset()
 
 
 # ------------------------------------------------------------ weight prep
@@ -156,10 +161,12 @@ def _conv_su(s, u, wc_ref, wu_ref, wslot, n_out, src_off, wp, c2, acc):
         r0 = src_off + ky
         sk = s[r0:r0 + n_out].reshape(n_out * wp, c2)
         uk = u[r0:r0 + n_out].reshape(n_out * wp, c2)
-        acc = acc + jnp.dot(sk, wc_ref[wslot, ky],
-                            preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(uk, wu_ref[wslot, ky],
-                            preferred_element_type=jnp.float32)
+        if "nosk" not in _ABLATE:
+            acc = acc + jnp.dot(sk, wc_ref[wslot, ky],
+                                preferred_element_type=jnp.float32)
+        if "nowu" not in _ABLATE:
+            acc = acc + jnp.dot(uk, wu_ref[wslot, ky],
+                                preferred_element_type=jnp.float32)
     return acc
 
 
@@ -199,22 +206,26 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
             e1_pad_ref.at[ni_, pl.ds(i_ * th, th + 4)], e1buf.at[s_],
             sems.at[s_, 1])
 
-    @pl.when(t == 0)
-    def _():
-        cp_x(ni, i, slot).start()
-        cp_e(ni, i, slot).start()
+    if "nodma" not in _ABLATE:
+        @pl.when(t == 0)
+        def _():
+            cp_x(ni, i, slot).start()
+            cp_e(ni, i, slot).start()
 
-    nt = t + 1
+        nt = t + 1
 
-    @pl.when(nt < n_im * n_t)
-    def _():
-        ni2 = nt // n_t
-        i2 = jax.lax.rem(nt, n_t)
-        cp_x(ni2, i2, 1 - slot).start()
-        cp_e(ni2, i2, 1 - slot).start()
+        @pl.when(nt < n_im * n_t)
+        def _():
+            ni2 = nt // n_t
+            i2 = jax.lax.rem(nt, n_t)
+            cp_x(ni2, i2, 1 - slot).start()
+            cp_e(ni2, i2, 1 - slot).start()
 
     sel_a, sel_b = _sel_masks(wp, c2)
-    cp_x(ni, i, slot).wait()
+    if "nodma" not in _ABLATE:
+        cp_x(ni, i, slot).wait()
+    build = ((lambda s, out_dt: s.astype(out_dt)) if "nobuild" in _ABLATE
+             else (lambda s, out_dt: _build_u(s, sel_a, sel_b, out_dt)))
 
     # ---- deconv: x rows [a/2-2, a/2+th/2+2) -> up rows [a-4, a+th+4) ----
     x = xbuf[slot]                                  # (rx, wp//2, c2)
@@ -225,9 +236,10 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     o1 = o1.reshape(rx, wp, c2)
     upf = jnp.stack([o0, o1], axis=1).reshape(2 * rx, wp, c2)
     upm = _row_mask(2 * rx, a - 4, h, wp).reshape(2 * rx, wp, 1)
-    upf = upf + bias_ref[3][None, None, :] * upm
+    if "nomask" not in _ABLATE:
+        upf = upf + bias_ref[3][None, None, :] * upm
     up = upf.astype(dtype)
-    u_up = _build_u(upf, sel_a, sel_b, dtype)       # shared by d2 + pair conv
+    u_up = build(upf, dtype)                        # shared by d2 + pair conv
 
     # ---- d2 = relu(conv(up) + b), rows [a-2, a+th+2) ----
     # Halo rows outside the real image must be ZERO (the next conv's zero
@@ -237,13 +249,15 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     acc = jnp.zeros((n_d2 * wp, c2), jnp.float32)
     acc = _conv_su(up, u_up, wc_ref, wu_ref, 0, n_d2, 1, wp, c2, acc)
     acc = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
-    acc = acc * _row_mask(n_d2, a - 2, h, wp)
+    if "nomask" not in _ABLATE:
+        acc = acc * _row_mask(n_d2, a - 2, h, wp)
     d2 = acc.astype(dtype).reshape(n_d2, wp, c2)
 
     # ---- gated = e1 + (1 + gate) * d2, rows [a-2, a+th+2) ----
-    cp_e(ni, i, slot).wait()
+    if "nodma" not in _ABLATE:
+        cp_e(ni, i, slot).wait()
     gated = e1buf[slot] + (gate_ref[0, 0][None, None, :] * d2).astype(dtype)
-    u_gated = _build_u(gated, sel_a, sel_b, dtype)
+    u_gated = build(gated, dtype)
 
     # ---- h = relu(conv(up, Wa) + conv(gated, Wb) + b), rows [a-1, a+th+1) --
     n_h = th + 2
@@ -251,10 +265,11 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     acc = _conv_su(up, u_up, wc_ref, wu_ref, 1, n_h, 2, wp, c2, acc)
     acc = _conv_su(gated, u_gated, wc_ref, wu_ref, 2, n_h, 0, wp, c2, acc)
     acc = jnp.maximum(acc + bias_ref[1][None, :], 0.0)
-    acc = acc * _row_mask(n_h, a - 1, h, wp)
+    if "nomask" not in _ABLATE:
+        acc = acc * _row_mask(n_h, a - 1, h, wp)
     hhf = acc.reshape(n_h, wp, c2)
     hh = hhf.astype(dtype)
-    u_hh = _build_u(hhf, sel_a, sel_b, dtype)
+    u_hh = build(hhf, dtype)
 
     # ---- y = relu(conv(h) + b), rows [a, a+th); then outc 1x1 ----
     acc = jnp.zeros((th * wp, c2), jnp.float32)
