@@ -87,7 +87,7 @@ def main():
     wsd = {k2: v for k2, v in ws.items()}
     t_xla = scan_time(functools.partial(xla_chain, ws=wsd, c=c), (x_p, x1_p))
     print(f"XLA packed up1 level: {t_xla:.2f} ms/batch64", flush=True)
-    for th in (16, 28, 56):
+    for th in (28, 56, 112):
         t_fused = scan_time(
             functools.partial(fused_chain, ws=wsd, c=c, tile_rows=th),
             (x_p, x1_p))

@@ -352,7 +352,10 @@ def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
     dtype = x_p.dtype
     th = tile_rows
     if th is None:
-        for t in (16, 8, 4, 2, 1):
+        # biggest divisor tile first: the ablation bench measured the th=16
+        # grid (896 steps at batch 64) at ~27% MXU from per-step overheads
+        # alone; 56-row tiles run the same conv at ~4x fewer steps
+        for t in (56, 32, 28, 16, 8, 4, 2, 1):
             if h % t == 0:
                 th = t
                 break
@@ -429,12 +432,12 @@ def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
     dtype = x_p.dtype
 
     if tile_rows is None:
-        tile_rows = 16 if h % 16 == 0 else None
-        if tile_rows is None:
-            for t in (14, 8, 4, 2):
-                if h % t == 0:
-                    tile_rows = t
-                    break
+        # 56-row tiles measured best on the v5e (benchmarks/up1_bench.py
+        # sweep); the raised vmem_limit makes them compile
+        for t in (56, 28, 16, 14, 8, 4, 2):
+            if h % t == 0:
+                tile_rows = t
+                break
     th = tile_rows
     assert h % th == 0 and th % 2 == 0, (h, th)
 
