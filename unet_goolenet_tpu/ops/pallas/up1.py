@@ -36,11 +36,14 @@ FLOPs = 6*128*128 per output packed column per ky vs logical 2px*3dx*64*64
 -> 1.33x, with every matmul at full 128-lane MXU occupancy.
 
 Halos: output row tile [a, a+TH) needs up rows [a-3, a+TH+3) and e1 rows
-[a-2, a+TH+2); inputs are row-padded (+2) in XLA so the kernel's manual
-async-copies use static sizes and never clamp, and each stage adds its bias
-only on rows inside the real image (so out-of-image halo rows stay exactly
-zero, matching conv zero padding). The 2x2/s2 deconv needs no halo of its
-own (output row pair 2i,2i+1 depends only on input row i).
+[a-2, a+TH+2); inputs arrive UNPADDED and the manual async-copies clamp the
+row window per boundary case (_halo_start), zero-filling out-of-image halo
+rows in VMEM — an XLA jnp.pad of each operand measured 2.73 ms per
+(64,224,112,128) bf16 tensor on the v5e, a full HBM round trip before the
+kernel even started. Each stage adds its bias only on rows inside the real
+image (so out-of-image halo rows stay exactly zero, matching conv zero
+padding). The 2x2/s2 deconv needs no halo of its own (output row pair
+2i,2i+1 depends only on input row i).
 
 Oracle: tests/test_pallas.py::TestFusedUp1 vs the XLA packed chain
 (pipeline/engine._up_alig_p + ops.packed.conv1x1_p), interpret mode on CPU
@@ -114,6 +117,49 @@ def make_deconv_weights(w: jax.Array):
 # ------------------------------------------------------------ kernel
 
 
+def _halo_branches(i_, n_t, tile, halo):
+    """The four boundary cases for a row window [i_*tile - halo,
+    i_*tile + tile + halo) over a [0, n_t*tile) array: (cond, src_start,
+    dst_offset, size, zero_top, zero_bottom) per case."""
+    first = i_ == 0
+    last = i_ == n_t - 1
+    a = i_ * tile
+    return [
+        (first & last, 0, halo, tile, True, True),
+        (first & jnp.logical_not(last), 0, halo, tile + halo, True, False),
+        (last & jnp.logical_not(first), a - halo, 0, tile + halo, False, True),
+        (jnp.logical_not(first) & jnp.logical_not(last), a - halo, 0,
+         tile + 2 * halo, False, False),
+    ]
+
+
+def _halo_start(src_ref, dst, sem, ni_, i_, n_t, tile, halo):
+    """Start the async copy of src_ref[ni_]'s row window into dst
+    (tile + 2*halo rows), zero-filling halo rows outside the image — this
+    replaces an XLA jnp.pad of the whole input, which measured 2.73 ms per
+    (64,224,112,128)-bf16 operand on the v5e (a full HBM read+write before
+    the kernel even starts)."""
+    for cond, s0, d0, sz, ztop, zbot in _halo_branches(i_, n_t, tile, halo):
+        @pl.when(cond)
+        def _(s0=s0, d0=d0, sz=sz, ztop=ztop, zbot=zbot):
+            pltpu.make_async_copy(src_ref.at[ni_, pl.ds(s0, sz)],
+                                  dst.at[d0:d0 + sz], sem).start()
+            if ztop:
+                dst[0:halo] = jnp.zeros_like(dst[0:halo])
+            if zbot:
+                dst[tile + halo:] = jnp.zeros_like(dst[tile + halo:])
+
+
+def _halo_wait(src_ref, dst, sem, ni_, i_, n_t, tile, halo):
+    """Wait for the copy issued by the matching _halo_start (the descriptor
+    must match the started copy's byte count, hence the same branching)."""
+    for cond, s0, d0, sz, _zt, _zb in _halo_branches(i_, n_t, tile, halo):
+        @pl.when(cond)
+        def _(s0=s0, d0=d0, sz=sz):
+            pltpu.make_async_copy(src_ref.at[ni_, pl.ds(s0, sz)],
+                                  dst.at[d0:d0 + sz], sem).wait()
+
+
 def _sel_masks(wp, c2):
     """The two (1, wp, c2) lane/column selectors for the U operand, built
     ONCE per kernel invocation (v1 rebuilt two full-size iotas per conv call
@@ -179,7 +225,7 @@ def _row_mask(n_rows, start, h, wp):
     return jnp.where((gr >= 0) & (gr < h), 1.0, 0.0)
 
 
-def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
+def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wc_ref, wu_ref,
                 bias_ref, w1_ref, b1_ref, out_ref, xbuf, e1buf, sems, *,
                 th, h, wp, c2, ncls2, dtype):
     ni = pl.program_id(0)
@@ -196,34 +242,27 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     t = ni * n_t + i
     slot = jax.lax.rem(t, 2)
 
-    def cp_x(ni_, i_, s_):
-        return pltpu.make_async_copy(
-            x_pad_ref.at[ni_, pl.ds((i_ * th) // 2, rx)], xbuf.at[s_],
-            sems.at[s_, 0])
-
-    def cp_e(ni_, i_, s_):
-        return pltpu.make_async_copy(
-            e1_pad_ref.at[ni_, pl.ds(i_ * th, th + 4)], e1buf.at[s_],
-            sems.at[s_, 1])
+    def start_in(ni_, i_, s_):
+        _halo_start(x_ref, xbuf.at[s_], sems.at[s_, 0], ni_, i_, n_t,
+                    th // 2, 2)
+        _halo_start(e1_ref, e1buf.at[s_], sems.at[s_, 1], ni_, i_, n_t,
+                    th, 2)
 
     if "nodma" not in _ABLATE:
         @pl.when(t == 0)
         def _():
-            cp_x(ni, i, slot).start()
-            cp_e(ni, i, slot).start()
+            start_in(ni, i, slot)
 
         nt = t + 1
 
         @pl.when(nt < n_im * n_t)
         def _():
-            ni2 = nt // n_t
-            i2 = jax.lax.rem(nt, n_t)
-            cp_x(ni2, i2, 1 - slot).start()
-            cp_e(ni2, i2, 1 - slot).start()
+            start_in(nt // n_t, jax.lax.rem(nt, n_t), 1 - slot)
 
     sel_a, sel_b = _sel_masks(wp, c2)
     if "nodma" not in _ABLATE:
-        cp_x(ni, i, slot).wait()
+        _halo_wait(x_ref, xbuf.at[slot], sems.at[slot, 0], ni, i, n_t,
+                   th // 2, 2)
     build = ((lambda s, out_dt: s.astype(out_dt)) if "nobuild" in _ABLATE
              else (lambda s, out_dt: _build_u(s, sel_a, sel_b, out_dt)))
 
@@ -255,7 +294,8 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
 
     # ---- gated = e1 + (1 + gate) * d2, rows [a-2, a+th+2) ----
     if "nodma" not in _ABLATE:
-        cp_e(ni, i, slot).wait()
+        _halo_wait(e1_ref, e1buf.at[slot], sems.at[slot, 1], ni, i, n_t,
+                   th, 2)
     gated = e1buf[slot] + (gate_ref[0, 0][None, None, :] * d2).astype(dtype)
     u_gated = build(gated, dtype)
 
@@ -283,7 +323,7 @@ def _up1_kernel(x_pad_ref, e1_pad_ref, gate_ref, wd_ref, wc_ref, wu_ref,
 # ---------------------------------------------------- gate-pass kernel
 
 
-def _cbn_stats_kernel(x_pad_ref, wc_ref, wu_ref, bias_ref, e1_ref, stat_ref,
+def _cbn_stats_kernel(x_ref, wc_ref, wu_ref, bias_ref, e1_ref, stat_ref,
                       xbuf, sems, *, th, wp, c2, dtype):
     """relu(conv3x3_pp(x) + b) + running per-image (sum, max) over (H, W).
 
@@ -299,23 +339,19 @@ def _cbn_stats_kernel(x_pad_ref, wc_ref, wu_ref, bias_ref, e1_ref, stat_ref,
     t = ni * n_t + i
     slot = jax.lax.rem(t, 2)
 
-    def cp(ni_, i_, s_):
-        return pltpu.make_async_copy(
-            x_pad_ref.at[ni_, pl.ds(i_ * th, th + 2)], xbuf.at[s_],
-            sems.at[s_])
-
     @pl.when(t == 0)
     def _():
-        cp(ni, i, slot).start()
+        _halo_start(x_ref, xbuf.at[slot], sems.at[slot], ni, i, n_t, th, 1)
 
     nt = t + 1
 
     @pl.when(nt < n_im * n_t)
     def _():
-        cp(nt // n_t, jax.lax.rem(nt, n_t), 1 - slot).start()
+        _halo_start(x_ref, xbuf.at[1 - slot], sems.at[1 - slot],
+                    nt // n_t, jax.lax.rem(nt, n_t), n_t, th, 1)
 
     sel_a, sel_b = _sel_masks(wp, c2)
-    cp(ni, i, slot).wait()
+    _halo_wait(x_ref, xbuf.at[slot], sems.at[slot], ni, i, n_t, th, 1)
 
     s = xbuf[slot]
     u = _build_u(s, sel_a, sel_b, s.dtype)
@@ -362,7 +398,6 @@ def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
 
     wc, wu = make_su_weights(w.astype(dtype))
     bias = jnp.tile(b.astype(jnp.float32), 2)[None]       # (1, 2C)
-    x_pad = jnp.pad(x_p, ((0, 0), (1, 1), (0, 0), (0, 0)))
 
     kernel = functools.partial(_cbn_stats_kernel, th=th, wp=wp, c2=c2,
                                dtype=dtype)
@@ -397,7 +432,7 @@ def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
-    )(x_pad, wc[None], wu[None], bias)
+    )(x_p, wc[None], wu[None], bias)
 
     mean = ((stats[:, 0, :c] + stats[:, 0, c:]) / (h * 2 * wp))
     mx = jnp.maximum(stats[:, 1, :c], stats[:, 1, c:])
@@ -462,8 +497,6 @@ def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
     w1 = w1.at[c:, ncls:].set(w_outc.astype(dtype))
     b1 = jnp.tile(b_outc.astype(jnp.float32), 2)[None]   # (1, 2*ncls)
 
-    x_pad = jnp.pad(x_p, ((0, 0), (2, 2), (0, 0), (0, 0)))
-    e1_pad = jnp.pad(e1_p, ((0, 0), (2, 2), (0, 0), (0, 0)))
     # (N, 1, 2C): a batch-indexed block needs its second-minor dim to equal
     # the full array dim (Pallas TPU block-shape rule), so give the gate a
     # singleton row dim instead of blocking (1, 2C) out of (N, 2C)
@@ -505,4 +538,4 @@ def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
-    )(x_pad, e1_pad, gate, wd, wc, wu, biases, w1, b1)
+    )(x_p, e1_p, gate, wd, wc, wu, biases, w1, b1)
