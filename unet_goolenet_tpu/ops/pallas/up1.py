@@ -274,7 +274,11 @@ def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     o0 = o0.reshape(rx, wp, c2)                     # (.., 2, 2C) col-interleave
     o1 = o1.reshape(rx, wp, c2)
     upf = jnp.stack([o0, o1], axis=1).reshape(2 * rx, wp, c2)
-    upm = _row_mask(2 * rx, a - 4, h, wp).reshape(2 * rx, wp, 1)
+    # ONE row-validity mask for the whole step: rows [a-4, a+th+4) cover
+    # every stage's window; the per-stage masks below are row slices of it
+    # (three separate iota+div+cmp builds measured ~1 ms across the grid)
+    m_full = _row_mask(2 * rx, a - 4, h, wp)
+    upm = m_full.reshape(2 * rx, wp, 1)
     if "nomask" not in _ABLATE:
         upf = upf + bias_ref[3][None, None, :] * upm
     up = upf.astype(dtype)
@@ -289,7 +293,7 @@ def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     acc = _conv_su(up, u_up, wc_ref, wu_ref, 0, n_d2, 1, wp, c2, acc)
     acc = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
     if "nomask" not in _ABLATE:
-        acc = acc * _row_mask(n_d2, a - 2, h, wp)
+        acc = acc * m_full[2 * wp:(2 + n_d2) * wp]
     d2 = acc.astype(dtype).reshape(n_d2, wp, c2)
 
     # ---- gated = e1 + (1 + gate) * d2, rows [a-2, a+th+2) ----
@@ -306,7 +310,7 @@ def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     acc = _conv_su(gated, u_gated, wc_ref, wu_ref, 2, n_h, 0, wp, c2, acc)
     acc = jnp.maximum(acc + bias_ref[1][None, :], 0.0)
     if "nomask" not in _ABLATE:
-        acc = acc * _row_mask(n_h, a - 1, h, wp)
+        acc = acc * m_full[3 * wp:(3 + n_h) * wp]
     hhf = acc.reshape(n_h, wp, c2)
     hh = hhf.astype(dtype)
     u_hh = build(hhf, dtype)
