@@ -61,10 +61,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False  # flipped by tests on CPU
-# Perf-ablation switch for benchmarks/up1_bench.py --ablate (NEVER set in
-# production: math becomes wrong). Tokens: nobuild (U := S, skips the
-# roll/select builds), nosk / nowu (drop half the conv dots), nomask (skip
-# halo row-mask multiplies), nodma (skip input copies; stale scratch data).
+# Perf-ablation switch for bench harnesses (NEVER set in production: math
+# becomes wrong). Tokens: nobuild (U := S, skips the roll/select builds),
+# nomask (skip halo row-mask multiplies), nodma (skip input copies; stale
+# scratch data).
 _ABLATE: frozenset = frozenset()
 
 
@@ -194,26 +194,28 @@ def _build_u(s, sel_a, sel_b, out_dtype):
     return u.astype(out_dtype)
 
 
-def _conv_su(s, u, wc_ref, wu_ref, wslot, n_out, src_off, wp, c2, acc):
-    """Accumulate the packed 3x3 conv into acc (f32, (n_out*wp, c2)).
+def _cat6(s, u, n_out, src_off, wp, c2):
+    """The lane-concat conv operand [S(ky=0)|S(1)|S(2)|U(0)|U(1)|U(2)],
+    (n_out*wp, 6*c2): ONE K=6C matmul then replaces six K=2C dots plus five
+    f32 accumulate adds per conv (the six-dot form measured ~2.6 ms of
+    dot-issue/add slack over MXU-ideal across the th=56 grid). s/u: the
+    (R, wp, c2) source and its prebuilt U operand (R >= src_off + n_out + 2);
+    out row k's center tap is row src_off + k + 1. Prebuilding U lets
+    sources feeding two convs (up -> d2 AND the pair conv) pay the
+    roll/select cost once. All six pieces start at lane offset 0 of their
+    tiles, so the lane-concat lowers to plain VMEM copies (no shifts)."""
+    ps = [s[src_off + ky:src_off + ky + n_out].reshape(n_out * wp, c2)
+          for ky in range(3)]
+    ps += [u[src_off + ky:src_off + ky + n_out].reshape(n_out * wp, c2)
+           for ky in range(3)]
+    return jnp.concatenate(ps, axis=1)
 
-    s/u: (R, wp, c2) source and its prebuilt U operand (R >= src_off + n_out
-    + 2); out row k's center tap is row src_off + k + 1. wc_ref/wu_ref hold
-    stacked conv weights; wslot selects this conv's (3, c2, c2) block.
-    Prebuilding U lets sources feeding two convs (up -> d2 AND the pair
-    conv) pay the roll/select cost once.
-    """
-    for ky in range(3):
-        r0 = src_off + ky
-        sk = s[r0:r0 + n_out].reshape(n_out * wp, c2)
-        uk = u[r0:r0 + n_out].reshape(n_out * wp, c2)
-        if "nosk" not in _ABLATE:
-            acc = acc + jnp.dot(sk, wc_ref[wslot, ky],
-                                preferred_element_type=jnp.float32)
-        if "nowu" not in _ABLATE:
-            acc = acc + jnp.dot(uk, wu_ref[wslot, ky],
-                                preferred_element_type=jnp.float32)
-    return acc
+
+def make_cat_weights(w: jax.Array, dtype):
+    """(3, 3, C, C) logical conv kernel -> (6*2C, 2C) cat-operand weights
+    (rows grouped to match _cat6's piece order)."""
+    wc, wu = make_su_weights(w.astype(dtype))
+    return jnp.concatenate([wc[0], wc[1], wc[2], wu[0], wu[1], wu[2]], axis=0)
 
 
 def _row_mask(n_rows, start, h, wp):
@@ -225,7 +227,7 @@ def _row_mask(n_rows, start, h, wp):
     return jnp.where((gr >= 0) & (gr < h), 1.0, 0.0)
 
 
-def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wc_ref, wu_ref,
+def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wgy_ref,
                 bias_ref, w1_ref, b1_ref, out_ref, xbuf, e1buf, sems, *,
                 th, h, wp, c2, ncls2, dtype):
     ni = pl.program_id(0)
@@ -284,17 +286,21 @@ def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     up = upf.astype(dtype)
     u_up = build(upf, dtype)                        # shared by d2 + pair conv
 
-    # ---- d2 = relu(conv(up) + b), rows [a-2, a+th+2) ----
+    # ---- merged d2 + pair-up conv: rows [a-2, a+th+2), one K=6C N=4C dot
+    # (the pair conv's up-operand contribution is computed on d2's slightly
+    # wider row window and row-sliced below — 2 extra rows of FLOPs buys
+    # sharing ONE cat operand between both convs) ----
     # Halo rows outside the real image must be ZERO (the next conv's zero
     # padding): the window overlaps real rows there, so mask the whole
     # output, not just the bias.
     n_d2 = th + 4
-    acc = jnp.zeros((n_d2 * wp, c2), jnp.float32)
-    acc = _conv_su(up, u_up, wc_ref, wu_ref, 0, n_d2, 1, wp, c2, acc)
-    acc = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
+    cat = _cat6(up, u_up, n_d2, 1, wp, c2)
+    acc2 = jnp.dot(cat, wup2_ref[:], preferred_element_type=jnp.float32)
+    accd = jnp.maximum(acc2[:, :c2] + bias_ref[0][None, :], 0.0)
     if "nomask" not in _ABLATE:
-        acc = acc * m_full[2 * wp:(2 + n_d2) * wp]
-    d2 = acc.astype(dtype).reshape(n_d2, wp, c2)
+        accd = accd * m_full[2 * wp:(2 + n_d2) * wp]
+    d2 = accd.astype(dtype).reshape(n_d2, wp, c2)
+    pair_up = acc2[:, c2:].reshape(n_d2, wp, c2)
 
     # ---- gated = e1 + (1 + gate) * d2, rows [a-2, a+th+2) ----
     if "nodma" not in _ABLATE:
@@ -305,9 +311,9 @@ def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wc_ref, wu_ref,
 
     # ---- h = relu(conv(up, Wa) + conv(gated, Wb) + b), rows [a-1, a+th+1) --
     n_h = th + 2
-    acc = jnp.zeros((n_h * wp, c2), jnp.float32)
-    acc = _conv_su(up, u_up, wc_ref, wu_ref, 1, n_h, 2, wp, c2, acc)
-    acc = _conv_su(gated, u_gated, wc_ref, wu_ref, 2, n_h, 0, wp, c2, acc)
+    acc = pair_up[1:1 + n_h].reshape(n_h * wp, c2)
+    cat = _cat6(gated, u_gated, n_h, 0, wp, c2)
+    acc = acc + jnp.dot(cat, wgy_ref[0], preferred_element_type=jnp.float32)
     acc = jnp.maximum(acc + bias_ref[1][None, :], 0.0)
     if "nomask" not in _ABLATE:
         acc = acc * m_full[3 * wp:(3 + n_h) * wp]
@@ -316,8 +322,8 @@ def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wc_ref, wu_ref,
     u_hh = build(hhf, dtype)
 
     # ---- y = relu(conv(h) + b), rows [a, a+th); then outc 1x1 ----
-    acc = jnp.zeros((th * wp, c2), jnp.float32)
-    acc = _conv_su(hh, u_hh, wc_ref, wu_ref, 3, th, 0, wp, c2, acc)
+    cat = _cat6(hh, u_hh, th, 0, wp, c2)
+    acc = jnp.dot(cat, wgy_ref[1], preferred_element_type=jnp.float32)
     y = jnp.maximum(acc + bias_ref[2][None, :], 0.0).astype(dtype)
     logits = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
     logits = logits + b1_ref[0][None, :]
@@ -327,7 +333,7 @@ def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wc_ref, wu_ref,
 # ---------------------------------------------------- gate-pass kernel
 
 
-def _cbn_stats_kernel(x_ref, wc_ref, wu_ref, bias_ref, e1_ref, stat_ref,
+def _cbn_stats_kernel(x_ref, wcat_ref, bias_ref, e1_ref, stat_ref,
                       xbuf, sems, *, th, wp, c2, dtype):
     """relu(conv3x3_pp(x) + b) + running per-image (sum, max) over (H, W).
 
@@ -359,8 +365,8 @@ def _cbn_stats_kernel(x_ref, wc_ref, wu_ref, bias_ref, e1_ref, stat_ref,
 
     s = xbuf[slot]
     u = _build_u(s, sel_a, sel_b, s.dtype)
-    acc = jnp.zeros((th * wp, c2), jnp.float32)
-    acc = _conv_su(s, u, wc_ref, wu_ref, 0, th, 0, wp, c2, acc)
+    cat = _cat6(s, u, th, 0, wp, c2)
+    acc = jnp.dot(cat, wcat_ref[:], preferred_element_type=jnp.float32)
     y = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
     e1_ref[0] = y.reshape(th, wp, c2).astype(dtype)
 
@@ -400,7 +406,7 @@ def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
                 th = t
                 break
 
-    wc, wu = make_su_weights(w.astype(dtype))
+    wcat = make_cat_weights(w, dtype)
     bias = jnp.tile(b.astype(jnp.float32), 2)[None]       # (1, 2C)
 
     kernel = functools.partial(_cbn_stats_kernel, th=th, wp=wp, c2=c2,
@@ -410,9 +416,7 @@ def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
         grid=(n, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 3, c2, c2), lambda ni, i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, c2, c2), lambda ni, i: (0, 0, 0, 0),
+            pl.BlockSpec((6 * c2, c2), lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c2), lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -436,7 +440,7 @@ def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
-    )(x_p, wc[None], wu[None], bias)
+    )(x_p, wcat, bias)
 
     mean = ((stats[:, 0, :c] + stats[:, 0, c:]) / (h * 2 * wp))
     mx = jnp.maximum(stats[:, 1, :c], stats[:, 1, c:])
@@ -482,13 +486,12 @@ def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
 
     wd0, wd1 = make_deconv_weights(w_up.astype(dtype))
     wd = jnp.stack([wd0, wd1])
-    wcs, wus = [], []
-    for w3 in (w_d2, w_pair[:, :, :c], w_pair[:, :, c:], w_blk1):
-        wc_, wu_ = make_su_weights(w3.astype(dtype))
-        wcs.append(wc_)
-        wus.append(wu_)
-    wc = jnp.stack(wcs)                        # (4, 3, 2C, 2C)
-    wu = jnp.stack(wus)
+    # cat-operand weights: d2 and the pair conv's up-half share the up
+    # operand, so their columns concatenate into ONE (6*2C, 4C) matrix
+    wup2 = jnp.concatenate([make_cat_weights(w_d2, dtype),
+                            make_cat_weights(w_pair[:, :, :c], dtype)], axis=1)
+    wgy = jnp.stack([make_cat_weights(w_pair[:, :, c:], dtype),
+                     make_cat_weights(w_blk1, dtype)])   # (2, 6*2C, 2C)
     biases = jnp.stack([
         jnp.tile(b_d2.astype(jnp.float32), 2),
         jnp.tile(b_pair.astype(jnp.float32), 2),
@@ -518,9 +521,9 @@ def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
             pl.BlockSpec((1, 1, c2), lambda ni, i: (ni, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, c2, 2 * c2), rep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 3, c2, c2), lambda ni, i: (0, 0, 0, 0),
+            pl.BlockSpec((6 * c2, 2 * c2), lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 3, c2, c2), lambda ni, i: (0, 0, 0, 0),
+            pl.BlockSpec((2, 6 * c2, c2), lambda ni, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, c2), lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -542,4 +545,4 @@ def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
-    )(x_p, e1_p, gate, wd, wc, wu, biases, w1, b1)
+    )(x_p, e1_p, gate, wd, wup2, wgy, biases, w1, b1)
