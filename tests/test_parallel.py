@@ -81,3 +81,36 @@ class TestShardedTraining:
         out = run(gray)
         assert out["grades"].shape == (16,)
         assert len(out["grades"].sharding.device_set) == 8
+
+    def test_sharded_pipeline_fused_up1_parity(self, mesh):
+        """The dp-sharded serving path keeps the fused Pallas up1 tail: under
+        shard_map each device traces its own per-shard program, so the
+        pallas_call needs no GSPMD partitioning. Grades must match the
+        single-device fused pipeline exactly."""
+        from unet_goolenet_tpu.models import GoogLeNetClassifier
+        from unet_goolenet_tpu.pipeline import TwoStagePipeline
+        from unet_goolenet_tpu.parallel import make_sharded_pipeline
+        from unet_goolenet_tpu.ops.pallas import up1 as PU
+
+        S = 32
+        unet = UNetTaskAligWeight(n_classes=1)
+        gnet = GoogLeNetClassifier(num_classes=6)
+        uv = unet.init({"params": KEY}, jnp.zeros((1, S, S, 3)), train=False)
+        gv = gnet.init({"params": KEY, "dropout": KEY},
+                       jnp.zeros((1, S, S, 3)), train=False)
+        gray = jax.random.uniform(KEY, (16, 40, 40)) * 255
+
+        old = PU._INTERPRET
+        PU._INTERPRET = True
+        try:
+            ref = TwoStagePipeline(unet, uv, gnet, gv, img_size=S,
+                                   fused_up1=True).infer_from_gray(np.asarray(gray))
+            pipe = TwoStagePipeline(unet, replicate(mesh, uv), gnet,
+                                    replicate(mesh, gv), img_size=S,
+                                    fused_up1=True)
+            run = make_sharded_pipeline(pipe, mesh)
+            out = run(shard_batch(mesh, gray))
+        finally:
+            PU._INTERPRET = old
+        np.testing.assert_array_equal(np.asarray(out["grades"]),
+                                      np.asarray(ref["grades"]))

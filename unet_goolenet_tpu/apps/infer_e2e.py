@@ -190,7 +190,7 @@ def main(argv=None):
         unet, {"params": seg_state.params, "batch_stats": seg_state.batch_stats},
         gnet, {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
         img_size=args.img_size, dtype=dtype,
-        fused_up1=False if use_dp else None)
+        fused_up1=None)  # dp runners shard_map per device, Pallas tail works
 
     grade_fn = None
     grade_padded_fn = None

@@ -124,6 +124,10 @@ def _halo_branches(i_, n_t, tile, halo):
     first = i_ == 0
     last = i_ == n_t - 1
     a = i_ * tile
+    if n_t == 1:
+        # single-tile grid: the other branches would trace copies larger
+        # than the whole array (statically out of bounds even under pl.when)
+        return [(first, 0, halo, tile, True, True)]
     return [
         (first & last, 0, halo, tile, True, True),
         (first & jnp.logical_not(last), 0, halo, tile + halo, True, False),

@@ -146,11 +146,6 @@ def make_sharded_pipeline(pipeline, mesh: Mesh, *, source: str = "gray"):
                    valid sizes, both sharded over 'data'; apps/infer_e2e
                    --size-buckets --data-parallel)
     """
-    if getattr(pipeline, "fused_up1", False):
-        raise ValueError(
-            "make_sharded_pipeline needs a TwoStagePipeline built with "
-            "fused_up1=False: a pallas_call cannot be GSPMD-partitioned, so "
-            "the mesh-sharded runners use the XLA up1 tail")
     rep = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     jitted = {"gray": pipeline._e2e, "rgb": pipeline._e2e_from_rgb,
@@ -158,11 +153,26 @@ def make_sharded_pipeline(pipeline, mesh: Mesh, *, source: str = "gray"):
               "grades_padded": pipeline._grades_padded}[source]
     n_batch_args = 2 if source == "grades_padded" else 1
 
-    fn = jax.jit(
-        jitted.__wrapped__,
-        in_shardings=(rep, rep) + (data,) * n_batch_args,
-        out_shardings=data,
-    )
+    if getattr(pipeline, "fused_up1", False):
+        # A pallas_call cannot be GSPMD-partitioned, but under shard_map each
+        # device traces its OWN per-shard program — the fused Pallas up1 tail
+        # runs per-device and only the batch axis is split, so the dp-sharded
+        # serving path keeps the single-chip kernel wins (grade parity vs the
+        # single-device pipeline:
+        # tests/test_parallel.py::test_sharded_pipeline_fused_up1_parity)
+        fn = jax.jit(jax.shard_map(
+            jitted.__wrapped__, mesh=mesh,
+            in_specs=(P(), P()) + (P("data"),) * n_batch_args,
+            out_specs=P("data"),
+            # pallas_call outputs carry no varying-mesh-axes annotation
+            check_vma=False,
+        ))
+    else:
+        fn = jax.jit(
+            jitted.__wrapped__,
+            in_shardings=(rep, rep) + (data,) * n_batch_args,
+            out_shardings=data,
+        )
 
     def run(*batch_args):
         batch_args = tuple(jnp.asarray(b) for b in batch_args)
