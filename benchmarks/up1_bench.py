@@ -2,14 +2,22 @@
 chain (benchmarks/RESULTS.md r2b: up1 = 21.48 ms of the 50.57 ms packed UNet
 forward at batch 64 bf16 — the target of VERDICT r2 #1).
 
-Stage 1: small-shape parity (cheap compile; catches Mosaic lowering errors).
-Stage 2: production shape (batch 64, 224^2, 64ch, bf16), scan-timed.
+Tunnel rule (memory/axon-tpu-tunnel-rules.md): run ONE short measurement per
+invocation with NO enclosing timeout — a timeout kill mid-execution wedges the
+worker for ~1h. Hence the argparse surface:
+
+    python benchmarks/up1_bench.py --mode parity          # small-shape parity
+    python benchmarks/up1_bench.py --mode xla             # XLA packed baseline
+    python benchmarks/up1_bench.py --mode fused --tile 56
+    python benchmarks/up1_bench.py --mode fused --tile 56 --ablate nobuild
+    python benchmarks/up1_bench.py --mode gate --tile 56  # gate pass alone
 """
-import sys, time, functools, numpy as np, jax, jax.numpy as jnp
+import argparse, sys, time, functools, numpy as np, jax, jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from unet_goolenet_tpu.ops import packed as P
 from unet_goolenet_tpu.ops import pallas as pk
+from unet_goolenet_tpu.ops.pallas import up1 as U
 from unet_goolenet_tpu.ops.pallas.up1 import fused_cbn_stats
 
 rng = np.random.default_rng(1)
@@ -45,6 +53,22 @@ def fused_chain(x_p, x1_p, ws, c, tile_rows=None):
         tile_rows=tile_rows)
 
 
+def gate_chain(x_p, x1_p, ws, c, tile_rows=None):
+    e1, avg, mx = fused_cbn_stats(x1_p, ws["w_e1"], ws["b_e1"],
+                                  tile_rows=tile_rows)
+    return e1
+
+
+def main_kernel_chain(x_p, x1_p, ws, c, tile_rows=None):
+    """The big kernel alone, gate pass replaced by cheap stand-ins (e1 := x1,
+    gate := 1.5) — isolates the main kernel's time."""
+    gate_p1 = jnp.full((x_p.shape[0], 4 * c), 1.5, x_p.dtype)
+    return pk.fused_up1_outc(x_p, x1_p, gate_p1,
+        ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"], ws["w_pair"], ws["b_pair"],
+        ws["w_blk1"], ws["b_blk1"], ws["w_outc"], ws["b_outc"],
+        tile_rows=tile_rows)
+
+
 def scan_time(fn, args, k=30):
     # the carry perturbs the input each iteration, or XLA hoists the whole
     # (loop-invariant) computation out of the scan and times nothing
@@ -64,39 +88,74 @@ def scan_time(fn, args, k=30):
     return best / k * 1000
 
 
-def main():
-    print(jax.devices(), flush=True)
-    # ---- stage 1: parity, small f32 ----
+def run_parity():
     c = 64
     ws = make_ws(c)
     n, h, wp = 1, 32, 16
     x_p = jnp.asarray(rng.standard_normal((n, h//2, wp//2, 2*c)).astype(np.float32))
     x1_p = jnp.asarray(rng.standard_normal((n, h, wp, 2*c)).astype(np.float32))
     ref = np.asarray(jax.jit(functools.partial(xla_chain, ws=ws, c=c))(x_p, x1_p))
-    print("stage1 ref done", flush=True)
+    print("parity ref done", flush=True)
     got = np.asarray(jax.jit(functools.partial(fused_chain, ws=ws, c=c))(x_p, x1_p))
     d = np.abs(got - ref).max()
-    print(f"stage1 parity maxdiff {d:.2e}", flush=True)
+    print(f"parity maxdiff {d:.2e}", flush=True)
     assert d < 1e-3, d
 
-    # ---- stage 2: production shape bf16, scan-timed ----
-    n, h, wp = 64, 224, 112
+
+def run_parity_prod(batch=2):
+    c = 64
+    ws = make_ws(c)
+    n, h, wp = batch, 224, 112
     dt = jnp.bfloat16
     x_p = jnp.asarray(rng.standard_normal((n, h//2, wp//2, 2*c)).astype(np.float32)).astype(dt)
     x1_p = jnp.asarray(rng.standard_normal((n, h, wp, 2*c)).astype(np.float32)).astype(dt)
-    wsd = {k2: v for k2, v in ws.items()}
-    t_xla = scan_time(functools.partial(xla_chain, ws=wsd, c=c), (x_p, x1_p))
-    print(f"XLA packed up1 level: {t_xla:.2f} ms/batch64", flush=True)
-    for th in (28, 56, 112):
-        t_fused = scan_time(
-            functools.partial(fused_chain, ws=wsd, c=c, tile_rows=th),
-            (x_p, x1_p))
-        print(f"fused Pallas up1 level (th={th}): {t_fused:.2f} ms/batch64  "
-              f"({t_xla/t_fused:.2f}x)", flush=True)
-    # bf16 parity sanity at production shape
-    a = np.asarray(jax.jit(functools.partial(xla_chain, ws=wsd, c=c))(x_p[:2], x1_p[:2]), np.float32)
-    b = np.asarray(jax.jit(functools.partial(fused_chain, ws=wsd, c=c))(x_p[:2], x1_p[:2]), np.float32)
-    print(f"bf16 prod-shape maxdiff {np.abs(a-b).max():.3f} (bf16 rounding scale)", flush=True)
+    a = np.asarray(jax.jit(functools.partial(xla_chain, ws=ws, c=c))(x_p, x1_p), np.float32)
+    b = np.asarray(jax.jit(functools.partial(fused_chain, ws=ws, c=c))(x_p, x1_p), np.float32)
+    print(f"bf16 prod-shape maxdiff {np.abs(a-b).max():.3f} (bf16 rounding scale)",
+          flush=True)
+
+
+def run_timed(mode, tile, batch):
+    c = 64
+    ws = make_ws(c)
+    n, h, wp = batch, 224, 112
+    dt = jnp.bfloat16
+    x_p = jnp.asarray(rng.standard_normal((n, h//2, wp//2, 2*c)).astype(np.float32)).astype(dt)
+    x1_p = jnp.asarray(rng.standard_normal((n, h, wp, 2*c)).astype(np.float32)).astype(dt)
+    fn = {"xla": xla_chain, "fused": fused_chain, "gate": gate_chain,
+          "main": main_kernel_chain}[mode]
+    kw = dict(ws=ws, c=c)
+    if mode != "xla":
+        kw["tile_rows"] = tile
+    t = scan_time(functools.partial(fn, **kw), (x_p, x1_p))
+    abl = ",".join(sorted(U._ABLATE)) or "-"
+    print(f"{mode} tile={tile} batch={batch} ablate={abl}: {t:.2f} ms/batch",
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="fused",
+                    choices=["parity", "parity-prod", "xla", "fused", "gate",
+                             "main"])
+    ap.add_argument("--tile", type=int, default=56)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--ablate", default="",
+                    help="comma list: nobuild,nomask,nodma (perf ablation only)")
+    ap.add_argument("--interpret", action="store_true",
+                    help="interpret-mode kernels (CPU smoke test)")
+    args = ap.parse_args()
+    if args.ablate:
+        U._ABLATE = frozenset(args.ablate.split(","))
+    if args.interpret:
+        U._INTERPRET = True
+    print(jax.devices(), flush=True)
+    if args.mode == "parity":
+        run_parity()
+    elif args.mode == "parity-prod":
+        run_parity_prod()
+    else:
+        run_timed(args.mode, args.tile, args.batch)
 
 
 if __name__ == "__main__":
