@@ -21,7 +21,9 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "baseline_cpu.json")
-BATCH = 128  # measured best (r2b sweep: 64->1070, 128->1193, 192->1083, 256->1172)
+# measured best (r2b sweep: 64->1070, 128->1193, 192->1083, 256->1172);
+# BENCH_BATCH env overrides for sweeps (official number = the default)
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 IMG_HW = (400, 500)  # raw ultrasound-ish input size
 SIZE = 224
 

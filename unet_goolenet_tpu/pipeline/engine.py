@@ -293,8 +293,8 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
     (benchmarks/RESULTS.md r2b). Requires an even image width.
 
     fused_up1=True additionally runs the up1+outc tail as the fused Pallas
-    kernel (single-device serving graphs only — a pallas_call can't be GSPMD-
-    partitioned, so the mesh-sharded runners keep the XLA tail).
+    kernel (serving graphs only; the dp-sharded runners keep it too by
+    tracing per-device programs under shard_map — parallel/mesh.py).
     """
     p = variables["params"]
     s = variables["batch_stats"]
