@@ -64,8 +64,11 @@ def make_pp_pipeline(pipeline, mesh: Mesh) -> Callable:
     def stage0(unet_vars, gray):
         imgs = preprocess_gray(gray, out_hw=hw).astype(dtype)
         if pipeline.use_engine:
-            fwd = (_engine.unet_forward_packed if use_packed
-                   else _engine.unet_forward)
+            # shard_map traces a per-device program, so the fused Pallas up1
+            # tail stays available here just like in the dp runner (mesh.py)
+            fwd = (partial(_engine.unet_forward_packed,
+                           fused_up1=pipeline.fused_up1)
+                   if use_packed else _engine.unet_forward)
             logits = fwd(unet_vars, imgs)
         else:
             logits = pipeline.unet.apply(unet_vars, imgs, train=False)
@@ -115,6 +118,10 @@ def make_pp_pipeline(pipeline, mesh: Mesh) -> Callable:
         spmd, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(),
+        # pallas_call outputs carry no varying-mesh-axes annotation (the
+        # fused up1 tail); the pcast role-branching stays valid without the
+        # checker (same pattern as make_sharded_pipeline in mesh.py)
+        check_vma=False,
     ))
 
     rep = jax.NamedSharding(mesh, P())
