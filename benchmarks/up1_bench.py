@@ -16,6 +16,7 @@ import argparse, sys, time, functools, numpy as np, jax, jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from unet_goolenet_tpu.ops import packed as P
+from unet_goolenet_tpu import ops as O
 from unet_goolenet_tpu.ops import pallas as pk
 from unet_goolenet_tpu.ops.pallas import up1 as U
 from unet_goolenet_tpu.ops.pallas.up1 import fused_cbn_stats
@@ -67,6 +68,77 @@ def main_kernel_chain(x_p, x1_p, ws, c, tile_rows=None):
         ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"], ws["w_pair"], ws["b_pair"],
         ws["w_blk1"], ws["b_blk1"], ws["w_outc"], ws["b_outc"],
         tile_rows=tile_rows)
+
+
+def make_ws2(c, cq, scale=0.1):
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32)) * scale
+    return dict(w_up=r(2,2,c,c), b_up=r(c), w_e1=r(3,3,c,c), b_e1=r(c),
+                w_d2=r(3,3,c,c), b_d2=r(c), w_pair=r(3,3,2*c,cq), b_pair=r(cq),
+                w_blk1=r(3,3,cq,cq), b_blk1=r(cq))
+
+
+def xla_chain2(x, skip, ws, c):
+    """The engine's XLA up2 section (dense cca + packed tail)."""
+    import jax.nn
+    e1 = jax.nn.relu(O.conv2d(skip, ws["w_e1"].astype(skip.dtype),
+                              ws["b_e1"].astype(skip.dtype), padding=1))
+    avg = jnp.mean(e1, axis=(1, 2), keepdims=True)
+    mx = jnp.max(e1, axis=(1, 2), keepdims=True)
+    gate = jax.nn.sigmoid(avg + mx)  # stand-in for the tiny fc gate
+    up = O.conv_transpose2x2(x, ws["w_up"].astype(x.dtype),
+                             ws["b_up"].astype(x.dtype))
+    d2 = jax.nn.relu(O.conv2d(up, ws["w_d2"].astype(x.dtype),
+                              ws["b_d2"].astype(x.dtype), padding=1))
+    gated = e1 + gate.astype(x.dtype) * d2 + d2
+    y_p = P.conv3x3_up2(up, P.expand_weights_up(ws["w_pair"][:, :, :c]).astype(x.dtype),
+                        gated, P.expand_weights_up(ws["w_pair"][:, :, c:]).astype(x.dtype),
+                        ws["b_pair"].astype(x.dtype), relu=True)
+    return P.conv3x3_pp(y_p, P.expand_weights_pp(ws["w_blk1"]).astype(x.dtype),
+                        ws["b_blk1"].astype(x.dtype), relu=True)
+
+
+def fused_chain2(x, skip, ws, c, tile_rows=None):
+    from unet_goolenet_tpu.ops.pallas import up2 as U2
+    e1, avg, mx = U2.fused_cbn_stats_dense(skip, ws["w_e1"], ws["b_e1"])
+    gate = jax.nn.sigmoid(avg + mx).astype(x.dtype)
+    return U2.fused_up2(x, e1, 1.0 + gate[:, 0, 0, :],
+                        ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"],
+                        ws["w_pair"], ws["b_pair"], ws["w_blk1"], ws["b_blk1"],
+                        tile_rows=tile_rows)
+
+
+def gate_chain2(x, skip, ws, c, tile_rows=None):
+    from unet_goolenet_tpu.ops.pallas import up2 as U2
+    e1, _, _ = U2.fused_cbn_stats_dense(skip, ws["w_e1"], ws["b_e1"],
+                                        tile_rows=tile_rows)
+    return e1
+
+
+def main_chain2(x, skip, ws, c, tile_rows=None):
+    from unet_goolenet_tpu.ops.pallas import up2 as U2
+    gate_p1 = jnp.full((x.shape[0], c), 1.5, x.dtype)
+    return U2.fused_up2(x, skip, gate_p1,
+                        ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"],
+                        ws["w_pair"], ws["b_pair"], ws["w_blk1"], ws["b_blk1"],
+                        tile_rows=tile_rows)
+
+
+def run_timed2(mode, tile, batch):
+    c, cq = 128, 64
+    ws = make_ws2(c, cq)
+    n, h, w = batch, 112, 112
+    dt = jnp.bfloat16
+    x = jnp.asarray(rng.standard_normal((n, h//2, w//2, c)).astype(np.float32)).astype(dt)
+    skip = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32)).astype(dt)
+    fn = {"xla2": xla_chain2, "fused2": fused_chain2, "gate2": gate_chain2,
+          "main2": main_chain2}[mode]
+    kw = dict(ws=ws, c=c)
+    if mode != "xla2":
+        kw["tile_rows"] = tile
+    t = scan_time(functools.partial(fn, **kw), (x, skip))
+    abl = ",".join(sorted(U._ABLATE)) or "-"
+    print(f"{mode} tile={tile} batch={batch} ablate={abl}: {t:.2f} ms/batch",
+          flush=True)
 
 
 def scan_time(fn, args, k=30):
@@ -137,7 +209,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="fused",
                     choices=["parity", "parity-prod", "xla", "fused", "gate",
-                             "main"])
+                             "main", "xla2", "fused2", "gate2", "main2"])
     ap.add_argument("--tile", type=int, default=56)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--ablate", default="",
@@ -154,6 +226,8 @@ def main():
         run_parity()
     elif args.mode == "parity-prod":
         run_parity_prod()
+    elif args.mode.endswith("2"):
+        run_timed2(args.mode, args.tile, args.batch)
     else:
         run_timed(args.mode, args.tile, args.batch)
 

@@ -284,3 +284,105 @@ class TestFusedCbnStats:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(mx), np.asarray(rmax),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestFusedUp2:
+    """fused_up2 vs the XLA chain (pipeline/engine's up2 section semantics):
+    dense deconv -> d2 -> gate-combine -> split-sum pair (dense in, packed
+    out) -> packed block1, per row-tile in VMEM (ops/pallas/up2.py)."""
+
+    def _xla_ref(self, x, e1, gate, ws):
+        from unet_goolenet_tpu.ops import packed as P
+        c = x.shape[-1]
+        up = ops.conv_transpose2x2(x, ws["w_up"], ws["b_up"])
+        d2 = jax.nn.relu(ops.conv2d(up, ws["w_d2"], ws["b_d2"], padding=1))
+        gated = e1 + gate * d2 + d2
+        y_p = P.conv3x3_up2(
+            up, P.expand_weights_up(ws["w_pair"][:, :, :c]),
+            gated, P.expand_weights_up(ws["w_pair"][:, :, c:]),
+            ws["b_pair"], relu=True)
+        return P.conv3x3_pp(y_p, P.expand_weights_pp(ws["w_blk1"]),
+                            ws["b_blk1"], relu=True)
+
+    def _ws(self, c, cq):
+        return {
+            "w_up": rand(2, 2, c, c) * 0.3, "b_up": rand(c),
+            "w_d2": rand(3, 3, c, c) * 0.3, "b_d2": rand(c),
+            "w_pair": rand(3, 3, 2 * c, cq) * 0.3, "b_pair": rand(cq),
+            "w_blk1": rand(3, 3, cq, cq) * 0.3, "b_blk1": rand(cq),
+        }
+
+    @pytest.mark.parametrize("tile_rows", [16, 8, 4])
+    def test_matches_xla_chain(self, tile_rows):
+        from unet_goolenet_tpu.ops.pallas.up2 import fused_up2
+        n, h, w, c = 2, 32, 16, 16
+        cq = c // 2
+        x = rand(n, h // 2, w // 2, c)
+        e1 = rand(n, h, w, c)
+        gate = jnp.abs(rand(n, 1, 1, c)) * 0.5
+        ws = self._ws(c, cq)
+        ref = self._xla_ref(x, e1, gate, ws)
+        got = fused_up2(x, e1, 1.0 + gate[:, 0, 0, :],
+                        ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"],
+                        ws["w_pair"], ws["b_pair"], ws["w_blk1"],
+                        ws["b_blk1"], tile_rows=tile_rows)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_single_tile_grid(self):
+        from unet_goolenet_tpu.ops.pallas.up2 import fused_up2
+        n, h, w, c = 1, 8, 8, 8
+        cq = c // 2
+        x = rand(n, h // 2, w // 2, c)
+        e1 = rand(n, h, w, c)
+        gate = jnp.abs(rand(n, 1, 1, c))
+        ws = self._ws(c, cq)
+        ref = self._xla_ref(x, e1, gate, ws)
+        got = fused_up2(x, e1, 1.0 + gate[:, 0, 0, :],
+                        ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"],
+                        ws["w_pair"], ws["b_pair"], ws["w_blk1"],
+                        ws["b_blk1"], tile_rows=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestCbnStatsDense:
+    def test_conv_and_stats_match_oracle(self):
+        from unet_goolenet_tpu.ops.pallas.up2 import fused_cbn_stats_dense
+        n, h, w, c = 2, 24, 16, 8
+        x = rand(n, h, w, c)
+        wk = rand(3, 3, c, c) * 0.3
+        b = rand(c)
+        e1, mean, mx = fused_cbn_stats_dense(x, wk, b, tile_rows=8)
+        ref = jax.nn.relu(ops.conv2d(x, wk, b, padding=1))
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(mean), np.asarray(jnp.mean(ref, axis=(1, 2),
+                                                  keepdims=True)),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(mx), np.asarray(jnp.max(ref, axis=(1, 2),
+                                               keepdims=True)),
+            rtol=1e-4, atol=1e-4)
+
+
+class TestFusedUp2Integration:
+    def test_engine_forward_matches_unfused(self):
+        """unet_forward_packed(fused_up2=True) == the plain packed forward
+        (and with fused_up1 stacked on top) on a tiny flagship model."""
+        from unet_goolenet_tpu.models import UNetTaskAligWeight
+        from unet_goolenet_tpu.pipeline import engine
+
+        model = UNetTaskAligWeight(n_classes=1)
+        x = jnp.asarray(RNG.standard_normal((1, 32, 32, 3)).astype(np.float32))
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        ref = engine.unet_forward_packed(v, x)
+        got2 = engine.unet_forward_packed(v, x, fused_up2=True)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        got12 = engine.unet_forward_packed(v, x, fused_up1=True,
+                                           fused_up2=True)
+        np.testing.assert_allclose(np.asarray(got12), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -1,0 +1,370 @@
+"""Fused up2 Pallas kernel — the second serving hot spot.
+
+The flagship UNet's up2 level (deconv 128ch @56^2 -> CoordAtt3 gate @112^2
+-> split-sum conv pair emitting the packed 64ch tail, reference
+分割/nets/basicUnet.py:115-129,201-231 at the 112^2 level) ran as ~6 XLA HBM
+round trips over (N,112,112,128)-sized intermediates after the r2b packed
+tail. Same treatment as up1 (ops/pallas/up1.py):
+
+  * gate pass (`fused_cbn_stats_dense`): e1 = ConvBatchNorm(skip) + its
+    global (H,W) mean/max in one sweep — the global reduction forces the
+    level to split here;
+  * main kernel (`fused_up2`), per (batch, row-tile) grid step, entirely
+    VMEM-resident:
+        deconv(y3) -> d2 = ConvBatchNorm(up) -> gated = e1 + (1+gate)*d2
+        -> hh = relu(conv(up,Wa) + conv(gated,Wb) + b)   (split-sum concat)
+        -> repack hh to the 64ch pixel-packed layout
+        -> y_p = ConvBatchNorm_packed(hh_p)              (nConvs.block1)
+    HBM traffic collapses to read(y3) + read(e1) + write(y_p).
+
+Unlike up1 (64 channels, pixel-packed S/U decomposition), the 128-channel
+operands here already fill the 128 MXU lanes, so packing would only add its
+1.33x FLOP overhead. Dense convs instead use the cat9 form: one
+(M, 9C) @ (9C, Cout) matmul per conv over [S | L | R] x 3 ky row-windows,
+where L/R are the +-1 column rolls with edge zeroing — EXACT logical conv
+FLOPs at full lane occupancy. The one packed-form conv (block1, 64ch) reuses
+up1's S/U machinery on the repacked tile.
+
+Oracle: tests/test_pallas.py::TestFusedUp2 vs the XLA chain
+(pipeline/engine's up2 section), interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unet_goolenet_tpu.ops.pallas.up1 import (
+    _build_u, _cat6, _halo_start, _halo_wait, _row_mask, _sel_masks,
+    make_cat_weights,
+)
+from unet_goolenet_tpu.ops.pallas import up1 as _up1
+
+
+# ------------------------------------------------------------ weight prep
+
+
+def make_dense_deconv_weights(w: jax.Array):
+    """(2, 2, Cin, Cout) transposed-conv kernel -> (Wd0, Wd1), each
+    (Cin, 2*Cout): dense input col j emits output cols (2j, 2j+1) as
+    x[j] @ [w[di,0] | w[di,1]] for output row parity di; reshaping the
+    (.., 2*Cout) product to (.., 2, Cout) interleaves the output columns."""
+    return (jnp.concatenate([w[0, 0], w[0, 1]], axis=-1),
+            jnp.concatenate([w[1, 0], w[1, 1]], axis=-1))
+
+
+def make_cat9_weights(w: jax.Array, dtype):
+    """(3, 3, Cin, Cout) logical conv kernel -> (9*Cin, Cout) cat-operand
+    weights for dense convs, rows grouped to match _cat9's piece order
+    ([S ky=0..2 | L ky=0..2 | R ky=0..2]; S=center kx, L holds col j-1 so it
+    takes kx=0 taps, R holds col j+1 -> kx=2)."""
+    pieces = [w[ky, 1] for ky in range(3)]
+    pieces += [w[ky, 0] for ky in range(3)]
+    pieces += [w[ky, 2] for ky in range(3)]
+    return jnp.concatenate(pieces, axis=0).astype(dtype)
+
+
+def _lr(sf, wp, out_dtype):
+    """The +-1 column rolls of a dense (R, wp, C) f32 tile with conv-padding
+    edge zeroing (L[j] = S[j-1], col 0 zero; R[j] = S[j+1], col wp-1 zero).
+    f32 in (Mosaic rotate is 32-bit only), out_dtype out."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+    l = jnp.where(col > 0, pltpu.roll(sf, 1, 1), 0.0)
+    r = jnp.where(col < wp - 1, pltpu.roll(sf, wp - 1, 1), 0.0)
+    return l.astype(out_dtype), r.astype(out_dtype)
+
+
+def _cat9(s, l, r, n_out, src_off, wp, c):
+    """The dense cat-operand [S(ky=0..2) | L(0..2) | R(0..2)],
+    (n_out*wp, 9c). Out row k's center tap is source row src_off + k + 1."""
+    ps = [t[src_off + ky:src_off + ky + n_out].reshape(n_out * wp, c)
+          for t in (s, l, r) for ky in range(3)]
+    return jnp.concatenate(ps, axis=1)
+
+
+# ------------------------------------------------------------ gate pass
+
+
+def _cbn_stats_dense_kernel(x_ref, wcat_ref, bias_ref, e1_ref, stat_ref,
+                            xbuf, sems, *, th, wp, c, dtype):
+    ni = pl.program_id(0)
+    i = pl.program_id(1)
+    n_im = pl.num_programs(0)
+    n_t = pl.num_programs(1)
+    t = ni * n_t + i
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        _halo_start(x_ref, xbuf.at[slot], sems.at[slot], ni, i, n_t, th, 1)
+
+    nt = t + 1
+
+    @pl.when(nt < n_im * n_t)
+    def _():
+        _halo_start(x_ref, xbuf.at[1 - slot], sems.at[1 - slot],
+                    nt // n_t, jax.lax.rem(nt, n_t), n_t, th, 1)
+
+    _halo_wait(x_ref, xbuf.at[slot], sems.at[slot], ni, i, n_t, th, 1)
+
+    s = xbuf[slot]
+    sf = s.astype(jnp.float32)
+    l, r = _lr(sf, wp, s.dtype)
+    cat = _cat9(s, l, r, th, 0, wp, c)
+    acc = jnp.dot(cat, wcat_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
+    e1_ref[0] = y.reshape(th, wp, c).astype(dtype)
+
+    tile_sum = jnp.sum(y, axis=0, keepdims=True)
+    tile_max = jnp.max(y, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        stat_ref[0, 0:1] = tile_sum
+        stat_ref[0, 1:2] = tile_max
+
+    @pl.when(i > 0)
+    def _():
+        stat_ref[0, 0:1] = stat_ref[0, 0:1] + tile_sum
+        stat_ref[0, 1:2] = jnp.maximum(stat_ref[0, 1:2], tile_max)
+
+
+def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
+                          *, tile_rows: Optional[int] = None):
+    """Dense ConvBatchNorm (folded w, b; relu) + global per-channel mean/max
+    in ONE pass — up2's gate pass (CoordAtt3 conv1_e + squeeze stats,
+    分割/nets/tasks.py CoordAtt3) without re-reading the activation from HBM.
+
+    x: (N, H, W, C); w: (3, 3, C, C) folded kernel; b: (C,).
+    Returns (e1 (N, H, W, C), mean (N,1,1,C), max (N,1,1,C)).
+    """
+    n, h, wp, c = x.shape
+    dtype = x.dtype
+    th = tile_rows
+    if th is None:
+        for t in (56, 28, 16, 14, 8, 4, 2, 1):
+            if h % t == 0:
+                th = t
+                break
+
+    wcat = make_cat9_weights(w, dtype)
+    bias = b.astype(jnp.float32)[None]            # (1, C)
+
+    kernel = functools.partial(_cbn_stats_dense_kernel, th=th, wp=wp, c=c,
+                               dtype=dtype)
+    e1, stats = pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9 * c, c), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, th, wp, c), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda ni, i: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, wp, c), dtype),
+            jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wp, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_up1._INTERPRET,
+    )(x, wcat, bias)
+
+    mean = stats[:, 0] / (h * wp)
+    return e1, mean[:, None, None, :], stats[:, 1][:, None, None, :]
+
+
+# ------------------------------------------------------------ main kernel
+
+
+def _up2_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wpg_ref,
+                wblk1_ref, bias_ref, bpair_ref, out_ref, xbuf, e1buf, sems,
+                *, th, h, wp, c, cq, dtype):
+    """One (image, row-tile) step: deconv -> d2 -> gate -> pair -> repack ->
+    block1, all VMEM-resident. wp = dense width (112), c = dense channels
+    (128), cq = pair-conv output channels (64; packed out = 2*cq lanes)."""
+    ni = pl.program_id(0)
+    i = pl.program_id(1)
+    n_im = pl.num_programs(0)
+    n_t = pl.num_programs(1)
+    a = i * th
+    rx = th // 2 + 4
+
+    t = ni * n_t + i
+    slot = jax.lax.rem(t, 2)
+
+    def start_in(ni_, i_, s_):
+        _halo_start(x_ref, xbuf.at[s_], sems.at[s_, 0], ni_, i_, n_t,
+                    th // 2, 2)
+        _halo_start(e1_ref, e1buf.at[s_], sems.at[s_, 1], ni_, i_, n_t,
+                    th, 2)
+
+    @pl.when(t == 0)
+    def _():
+        start_in(ni, i, slot)
+
+    nt = t + 1
+
+    @pl.when(nt < n_im * n_t)
+    def _():
+        start_in(nt // n_t, jax.lax.rem(nt, n_t), 1 - slot)
+
+    _halo_wait(x_ref, xbuf.at[slot], sems.at[slot, 0], ni, i, n_t,
+               th // 2, 2)
+
+    # ---- deconv: x rows [a/2-2, a/2+th/2+2) -> up rows [a-4, a+th+4) ----
+    x = xbuf[slot]                                   # (rx, wp//2, c)
+    xm = x.reshape(rx * (wp // 2), c)
+    o0 = jnp.dot(xm, wd_ref[0], preferred_element_type=jnp.float32)
+    o1 = jnp.dot(xm, wd_ref[1], preferred_element_type=jnp.float32)
+    o0 = o0.reshape(rx, wp, c)                       # (.., 2, C) interleave
+    o1 = o1.reshape(rx, wp, c)
+    upf = jnp.stack([o0, o1], axis=1).reshape(2 * rx, wp, c)
+    m_full = _row_mask(2 * rx, a - 4, h, wp)
+    upm = m_full.reshape(2 * rx, wp, 1)
+    upf = upf + bias_ref[3][None, None, :] * upm
+    up = upf.astype(dtype)
+    upl, upr = _lr(upf, wp, dtype)                   # shared by d2 + pair
+
+    # ---- merged d2 + pair-up conv: out rows [a-2, a+th+2), one
+    # (M, 9C) @ (9C, C+cq) dot (the pair conv's up-operand contribution is
+    # row-sliced below, same trick as up1's wup2) ----
+    n_d2 = th + 4
+    cat = _cat9(up, upl, upr, n_d2, 1, wp, c)
+    acc2 = jnp.dot(cat, wup2_ref[:], preferred_element_type=jnp.float32)
+    accd = jnp.maximum(acc2[:, :c] + bias_ref[0][None, :], 0.0)
+    accd = accd * m_full[2 * wp:(2 + n_d2) * wp]
+    d2 = accd.astype(dtype).reshape(n_d2, wp, c)
+    pair_up = acc2[:, c:]                            # (n_d2*wp, cq) f32
+
+    # ---- gated = e1 + (1 + gate) * d2, rows [a-2, a+th+2) ----
+    _halo_wait(e1_ref, e1buf.at[slot], sems.at[slot, 1], ni, i, n_t, th, 2)
+    gated = e1buf[slot] + (gate_ref[0, 0][None, None, :] * d2).astype(dtype)
+    gl, gr = _lr(gated.astype(jnp.float32), wp, dtype)
+
+    # ---- hh = relu(conv(up,Wa) + conv(gated,Wb) + b), rows [a-1, a+th+1) --
+    n_h = th + 2
+    acc = pair_up[wp:(1 + n_h) * wp]
+    cat = _cat9(gated, gl, gr, n_h, 0, wp, c)
+    acc = acc + jnp.dot(cat, wpg_ref[:], preferred_element_type=jnp.float32)
+    acc = jnp.maximum(acc + bpair_ref[0][None, :], 0.0)
+    acc = acc * m_full[3 * wp:(3 + n_h) * wp]
+    # repack to the 64ch pixel-packed layout: (n_h, wp, cq) -> (n_h, wp/2,
+    # 2cq); built from the f32 accumulator so blk1's U build needs no upcast
+    hhf = acc.reshape(n_h, wp // 2, 2 * cq)
+    hh = hhf.astype(dtype)
+
+    # ---- y_p = relu(conv_packed(hh_p) + b)  (nConvs.block1), rows [a,a+th) --
+    wq = wp // 2
+    cq2 = 2 * cq
+    sel_a, sel_b = _sel_masks(wq, cq2)
+    u_hh = _build_u(hhf, sel_a, sel_b, dtype)
+    cat = _cat6(hh, u_hh, th, 0, wq, cq2)
+    acc = jnp.dot(cat, wblk1_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc + bias_ref[2][None, :cq2], 0.0)
+    out_ref[0] = y.reshape(th, wq, cq2).astype(out_ref.dtype)
+
+
+def fused_up2(x: jax.Array, e1: jax.Array, gate_p1: jax.Array,
+              w_up: jax.Array, b_up: jax.Array,
+              w_d2: jax.Array, b_d2: jax.Array,
+              w_pair: jax.Array, b_pair: jax.Array,
+              w_blk1: jax.Array, b_blk1: jax.Array,
+              *, tile_rows: Optional[int] = None) -> jax.Array:
+    """The up2 level as one fused kernel (after the gate pass).
+
+    x: (N, H/2, W/2, C) dense bottom input (the up3 output);
+    e1: (N, H, W, C) dense ConvBatchNorm(skip) from the gate pass;
+    gate_p1: (N, C) per-image (1 + sigmoid gate);
+    w_up/b_up: (2,2,C,C)/(C,) transposed conv; w_d2/b_d2: folded (3,3,C,C)
+    CoordAtt3 conv2_e; w_pair/b_pair: folded (3,3,2C,cq) nConvs.block0
+    (input = concat[up, gated]); w_blk1/b_blk1: folded (3,3,cq,cq)
+    nConvs.block1. Returns the PACKED (N, H, W/2, 2*cq) level output.
+    """
+    n, h2, wq2, c = x.shape
+    h, wp = 2 * h2, 2 * wq2
+    cq = w_pair.shape[-1]
+    dtype = x.dtype
+
+    if tile_rows is None:
+        for t in (28, 14, 8, 4, 2):
+            if h % t == 0:
+                tile_rows = t
+                break
+    th = tile_rows
+    assert h % th == 0 and th % 2 == 0, (h, th)
+
+    wd0, wd1 = make_dense_deconv_weights(w_up.astype(dtype))
+    wd = jnp.stack([wd0, wd1])
+    wup2 = jnp.concatenate([make_cat9_weights(w_d2, dtype),
+                            make_cat9_weights(w_pair[:, :, :c], dtype)],
+                           axis=1)                   # (9C, C+cq)
+    wpg = make_cat9_weights(w_pair[:, :, c:], dtype)  # (9C, cq)
+    wblk1 = make_cat_weights(w_blk1, dtype)           # (6*2cq, 2cq)
+    pad = max(0, c - 2 * cq)
+    biases = jnp.stack([
+        b_d2.astype(jnp.float32),
+        jnp.zeros((c,), jnp.float32),                 # unused slot
+        jnp.pad(jnp.tile(b_blk1.astype(jnp.float32), 2), (0, pad)),
+        b_up.astype(jnp.float32),
+    ])                                                # (4, C)
+    bpair = b_pair.astype(jnp.float32)[None]          # (1, cq)
+
+    gate = gate_p1.astype(dtype)[:, None, :]          # (N, 1, C)
+
+    kernel = functools.partial(
+        _up2_kernel, th=th, h=h, wp=wp, c=c, cq=cq, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, c), lambda ni, i: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c, 2 * c), lambda ni, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * c, c + cq), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * c, cq), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12 * cq, 2 * cq), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cq), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, wp // 2, 2 * cq),
+                               lambda ni, i: (ni, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, wp // 2, 2 * cq), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th // 2 + 4, wp // 2, c), dtype),
+            pltpu.VMEM((2, th + 4, wp, c), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_up1._INTERPRET,
+    )(x, e1, gate, wd, wup2, wpg, wblk1, biases, bpair)

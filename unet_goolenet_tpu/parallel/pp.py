@@ -67,7 +67,8 @@ def make_pp_pipeline(pipeline, mesh: Mesh) -> Callable:
             # shard_map traces a per-device program, so the fused Pallas up1
             # tail stays available here just like in the dp runner (mesh.py)
             fwd = (partial(_engine.unet_forward_packed,
-                           fused_up1=pipeline.fused_up1)
+                           fused_up1=pipeline.fused_up1,
+                           fused_up2=getattr(pipeline, "fused_up2", False))
                    if use_packed else _engine.unet_forward)
             logits = fwd(unet_vars, imgs)
         else:

@@ -283,8 +283,38 @@ def unet_forward_packed_tail_fused(variables: Dict[str, Any], y_p, x1_p,
         p["outc"]["conv"]["kernel"][0, 0], p["outc"]["conv"]["bias"])
 
 
+def _up2_fused(y, skip, p, s, dtype) -> jax.Array:
+    """up2 via the fused Pallas kernels (ops/pallas/up2.py): gate pass
+    (dense e1 ConvBatchNorm + global mean/max), the tiny 1x1 squeeze-excite
+    gate in XLA, then one VMEM-resident kernel for deconv -> d2 ->
+    gate-combine -> split-sum pair -> repack -> block1. Returns the packed
+    (N, H, W/2, 2*cq) level output."""
+    from unet_goolenet_tpu.ops.pallas import up2 as PU2
+
+    u = p
+    us = s
+    w_e1, b_e1 = _fold(u["cca"]["conv1_e"]["block0"],
+                       us["cca"]["conv1_e"]["block0"])
+    e1, avg, mx = PU2.fused_cbn_stats_dense(skip, w_e1, b_e1)
+    gate = jax.nn.sigmoid(_conv1x1(
+        jax.nn.relu(_conv1x1(avg.astype(dtype), u["cca"]["fc_avg"])) +
+        jax.nn.relu(_conv1x1(mx.astype(dtype), u["cca"]["fc_max"])),
+        u["cca"]["fc_out"]))                              # (N,1,1,C)
+    gate_p1 = 1.0 + gate[:, 0, 0, :]                      # (N, C)
+    c = skip.shape[-1]
+    w_d2, b_d2 = _fold(u["cca"]["conv2_e"]["block0"],
+                       us["cca"]["conv2_e"]["block0"])
+    w_pair, b_pair = _fold(u["nConvs"]["block0"], us["nConvs"]["block0"])
+    w_blk1, b_blk1 = _fold(u["nConvs"]["block1"], us["nConvs"]["block1"])
+    return PU2.fused_up2(
+        y, e1, gate_p1,
+        u["up"]["kernel"], u["up"]["bias"],
+        w_d2, b_d2, w_pair, b_pair, w_blk1, b_blk1)
+
+
 def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
-                        *, fused_up1: bool = False) -> jax.Array:
+                        *, fused_up1: bool = False,
+                        fused_up2: bool = False) -> jax.Array:
     """Engine forward with the 64-channel levels in pixel-packed layout.
 
     Numerically identical to `unet_forward` up to f32 summation order
@@ -293,8 +323,10 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
     (benchmarks/RESULTS.md r2b). Requires an even image width.
 
     fused_up1=True additionally runs the up1+outc tail as the fused Pallas
-    kernel (serving graphs only; the dp-sharded runners keep it too by
-    tracing per-device programs under shard_map — parallel/mesh.py).
+    kernel; fused_up2=True does the same for the up2 level (ops/pallas/up2.py:
+    deconv -> CoordAtt3 gate -> split-sum pair -> block1, one VMEM residency).
+    Serving graphs only; the dp-sharded runners keep both by tracing
+    per-device programs under shard_map — parallel/mesh.py.
     """
     p = variables["params"]
     s = variables["batch_stats"]
@@ -322,17 +354,21 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
     y = _up_alig(y, feats[1], p["up3"], s["up3"])
 
     # up2: cca runs at 128ch (dense); the two output convs emit packed 64ch
-    up = ops.conv_transpose2x2(y, p["up2"]["up"]["kernel"].astype(dtype),
-                               p["up2"]["up"]["bias"].astype(dtype))
-    gated = _coord_att3(feats[0], up, p["up2"]["cca"], s["up2"]["cca"])
-    w0, b0 = _fold(p["up2"]["nConvs"]["block0"], s["up2"]["nConvs"]["block0"])
-    c = up.shape[-1]
-    y_p = P.conv3x3_up2(
-        up, P.expand_weights_up(w0[:, :, :c]).astype(dtype),
-        gated, P.expand_weights_up(w0[:, :, c:]).astype(dtype),
-        b0.astype(dtype), relu=True)
-    y_p = _cbn_pp(y_p, p["up2"]["nConvs"]["block1"],
-                  s["up2"]["nConvs"]["block1"], dtype)
+    if fused_up2 and hh % 2 == 0:
+        y_p = _up2_fused(y, feats[0], p["up2"], s["up2"], dtype)
+    else:
+        up = ops.conv_transpose2x2(y, p["up2"]["up"]["kernel"].astype(dtype),
+                                   p["up2"]["up"]["bias"].astype(dtype))
+        gated = _coord_att3(feats[0], up, p["up2"]["cca"], s["up2"]["cca"])
+        w0, b0 = _fold(p["up2"]["nConvs"]["block0"],
+                       s["up2"]["nConvs"]["block0"])
+        c = up.shape[-1]
+        y_p = P.conv3x3_up2(
+            up, P.expand_weights_up(w0[:, :, :c]).astype(dtype),
+            gated, P.expand_weights_up(w0[:, :, c:]).astype(dtype),
+            b0.astype(dtype), relu=True)
+        y_p = _cbn_pp(y_p, p["up2"]["nConvs"]["block1"],
+                      s["up2"]["nConvs"]["block1"], dtype)
 
     # up1: fully packed (skip x1 never left packed layout)
     if fused_up1 and hh % 2 == 0:

@@ -96,7 +96,7 @@ class TwoStagePipeline:
 
     def __init__(self, unet, unet_vars, gnet, gnet_vars, *, img_size: int = 224,
                  padding: int = 30, dtype=jnp.float32, use_engine: bool = True,
-                 fused_up1: bool = None):
+                 fused_up1: bool = None, fused_up2: bool = None):
         self.unet = unet
         self.gnet = gnet
         self.unet_vars = unet_vars
@@ -109,7 +109,10 @@ class TwoStagePipeline:
             # the Pallas up1 kernel compiles on TPU backends only; CPU runs
             # (tests, virtual-mesh dryruns) default to the XLA tail.
             fused_up1 = jax.default_backend() not in ("cpu",)
+        if fused_up2 is None:
+            fused_up2 = jax.default_backend() not in ("cpu",)
         self.fused_up1 = fused_up1
+        self.fused_up2 = fused_up2
 
         hw = (img_size, img_size)
 
@@ -119,10 +122,11 @@ class TwoStagePipeline:
         # path stays available with use_engine=False for bit-level debugging.
         # The 64-channel levels additionally run in pixel-packed layout
         # (ops/packed.py; measured 1.13x on the whole UNet forward) whenever
-        # the image width is even; fused_up1 runs the up1+outc tail as ONE
-        # VMEM-resident Pallas kernel (ops/pallas/up1.py).
+        # the image width is even; fused_up1/fused_up2 run those decoder
+        # levels as single VMEM-resident Pallas kernels (ops/pallas/up{1,2}).
         unet_engine_fwd = (
-            partial(_engine.unet_forward_packed, fused_up1=fused_up1)
+            partial(_engine.unet_forward_packed, fused_up1=fused_up1,
+                    fused_up2=fused_up2)
             if img_size % 2 == 0 else _engine.unet_forward)
 
         def _seg(unet_vars, imgs):
