@@ -103,11 +103,12 @@ class TestShardedTraining:
         old = PU._INTERPRET
         PU._INTERPRET = True
         try:
-            ref = TwoStagePipeline(unet, uv, gnet, gv, img_size=S,
-                                   fused_up1=True).infer_from_gray(np.asarray(gray))
+            ref = TwoStagePipeline(
+                unet, uv, gnet, gv, img_size=S, fused_up1=True,
+                fused_up2=True).infer_from_gray(np.asarray(gray))
             pipe = TwoStagePipeline(unet, replicate(mesh, uv), gnet,
                                     replicate(mesh, gv), img_size=S,
-                                    fused_up1=True)
+                                    fused_up1=True, fused_up2=True)
             run = make_sharded_pipeline(pipe, mesh)
             out = run(shard_batch(mesh, gray))
         finally:
