@@ -386,3 +386,57 @@ class TestFusedUp2Integration:
                                            fused_up2=True)
         np.testing.assert_allclose(np.asarray(got12), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestFusedUpDense:
+    """fused_up_dense (the up3/up4 variant: dense block1 output) vs the XLA
+    _up_alig chain."""
+
+    def _xla_ref(self, x, e1, gate, ws):
+        c = x.shape[-1]
+        up = ops.conv_transpose2x2(x, ws["w_up"], ws["b_up"])
+        d2 = jax.nn.relu(ops.conv2d(up, ws["w_d2"], ws["b_d2"], padding=1))
+        gated = e1 + gate * d2 + d2
+        hh = jax.nn.relu(
+            ops.conv2d(up, ws["w_pair"][:, :, :c], None, padding=1)
+            + ops.conv2d(gated, ws["w_pair"][:, :, c:], ws["b_pair"],
+                         padding=1))
+        return jax.nn.relu(ops.conv2d(hh, ws["w_blk1"], ws["b_blk1"],
+                                      padding=1))
+
+    @pytest.mark.parametrize("tile_rows", [8, 4])
+    def test_matches_xla_chain(self, tile_rows):
+        from unet_goolenet_tpu.ops.pallas.up2 import fused_up_dense
+        n, h, w, c = 2, 16, 8, 16
+        cq = c // 2
+        x = rand(n, h // 2, w // 2, c)
+        e1 = rand(n, h, w, c)
+        gate = jnp.abs(rand(n, 1, 1, c)) * 0.5
+        ws = {
+            "w_up": rand(2, 2, c, c) * 0.3, "b_up": rand(c),
+            "w_d2": rand(3, 3, c, c) * 0.3, "b_d2": rand(c),
+            "w_pair": rand(3, 3, 2 * c, cq) * 0.3, "b_pair": rand(cq),
+            "w_blk1": rand(3, 3, cq, cq) * 0.3, "b_blk1": rand(cq),
+        }
+        ref = self._xla_ref(x, e1, gate, ws)
+        got = fused_up_dense(x, e1, 1.0 + gate[:, 0, 0, :],
+                             ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"],
+                             ws["w_pair"], ws["b_pair"], ws["w_blk1"],
+                             ws["b_blk1"], tile_rows=tile_rows)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_engine_forward_all_fused(self):
+        """unet_forward_packed with every fused level on == plain packed."""
+        from unet_goolenet_tpu.models import UNetTaskAligWeight
+        from unet_goolenet_tpu.pipeline import engine
+
+        model = UNetTaskAligWeight(n_classes=1)
+        x = jnp.asarray(RNG.standard_normal((1, 32, 32, 3)).astype(np.float32))
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        ref = engine.unet_forward_packed(v, x)
+        got = engine.unet_forward_packed(v, x, fused_up1=True, fused_up2=True,
+                                         fused_up34=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -197,10 +197,12 @@ def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
 
 def _up2_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wpg_ref,
                 wblk1_ref, bias_ref, bpair_ref, out_ref, xbuf, e1buf, sems,
-                *, th, h, wp, c, cq, dtype):
-    """One (image, row-tile) step: deconv -> d2 -> gate -> pair -> repack ->
-    block1, all VMEM-resident. wp = dense width (112), c = dense channels
-    (128), cq = pair-conv output channels (64; packed out = 2*cq lanes)."""
+                *, th, h, wp, c, cq, dtype, packed_out):
+    """One (image, row-tile) step: deconv -> d2 -> gate -> pair ->
+    [repack ->] block1, all VMEM-resident. wp = dense width, c = dense
+    channels, cq = pair-conv output channels. packed_out=True emits the 64ch
+    pixel-packed layout (up2); False keeps block1 dense (up3/up4, where cq
+    >= 128 already fills the lanes)."""
     ni = pl.program_id(0)
     i = pl.program_id(1)
     n_im = pl.num_programs(0)
@@ -267,20 +269,30 @@ def _up2_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wpg_ref,
     acc = acc + jnp.dot(cat, wpg_ref[:], preferred_element_type=jnp.float32)
     acc = jnp.maximum(acc + bpair_ref[0][None, :], 0.0)
     acc = acc * m_full[3 * wp:(3 + n_h) * wp]
-    # repack to the 64ch pixel-packed layout: (n_h, wp, cq) -> (n_h, wp/2,
-    # 2cq); built from the f32 accumulator so blk1's U build needs no upcast
-    hhf = acc.reshape(n_h, wp // 2, 2 * cq)
-    hh = hhf.astype(dtype)
 
-    # ---- y_p = relu(conv_packed(hh_p) + b)  (nConvs.block1), rows [a,a+th) --
-    wq = wp // 2
-    cq2 = 2 * cq
-    sel_a, sel_b = _sel_masks(wq, cq2)
-    u_hh = _build_u(hhf, sel_a, sel_b, dtype)
-    cat = _cat6(hh, u_hh, th, 0, wq, cq2)
-    acc = jnp.dot(cat, wblk1_ref[:], preferred_element_type=jnp.float32)
-    y = jnp.maximum(acc + bias_ref[2][None, :cq2], 0.0)
-    out_ref[0] = y.reshape(th, wq, cq2).astype(out_ref.dtype)
+    if packed_out:
+        # repack to the 64ch pixel-packed layout: (n_h, wp, cq) -> (n_h,
+        # wp/2, 2cq); built from the f32 accumulator so blk1's U build needs
+        # no upcast. block1 then runs in up1's packed S/U form.
+        hhf = acc.reshape(n_h, wp // 2, 2 * cq)
+        hh = hhf.astype(dtype)
+        wq = wp // 2
+        cq2 = 2 * cq
+        sel_a, sel_b = _sel_masks(wq, cq2)
+        u_hh = _build_u(hhf, sel_a, sel_b, dtype)
+        cat = _cat6(hh, u_hh, th, 0, wq, cq2)
+        acc = jnp.dot(cat, wblk1_ref[:], preferred_element_type=jnp.float32)
+        y = jnp.maximum(acc + bias_ref[2][None, :cq2], 0.0)
+        out_ref[0] = y.reshape(th, wq, cq2).astype(out_ref.dtype)
+    else:
+        # dense block1 (cq >= 128 fills the lanes): cat9 like the others
+        hhf = acc.reshape(n_h, wp, cq)
+        hh = hhf.astype(dtype)
+        hl, hr = _lr(hhf, wp, dtype)
+        cat = _cat9(hh, hl, hr, th, 0, wp, cq)
+        acc = jnp.dot(cat, wblk1_ref[:], preferred_element_type=jnp.float32)
+        y = jnp.maximum(acc + bias_ref[2][None, :cq], 0.0)
+        out_ref[0] = y.reshape(th, wp, cq).astype(out_ref.dtype)
 
 
 def fused_up2(x: jax.Array, e1: jax.Array, gate_p1: jax.Array,
@@ -299,6 +311,28 @@ def fused_up2(x: jax.Array, e1: jax.Array, gate_p1: jax.Array,
     (input = concat[up, gated]); w_blk1/b_blk1: folded (3,3,cq,cq)
     nConvs.block1. Returns the PACKED (N, H, W/2, 2*cq) level output.
     """
+    return _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair,
+                           b_pair, w_blk1, b_blk1, tile_rows=tile_rows,
+                           packed_out=True)
+
+
+def fused_up_dense(x: jax.Array, e1: jax.Array, gate_p1: jax.Array,
+                   w_up: jax.Array, b_up: jax.Array,
+                   w_d2: jax.Array, b_d2: jax.Array,
+                   w_pair: jax.Array, b_pair: jax.Array,
+                   w_blk1: jax.Array, b_blk1: jax.Array,
+                   *, tile_rows: Optional[int] = None) -> jax.Array:
+    """A decoder level (up3/up4) as one fused kernel: same structure as
+    fused_up2 but with a DENSE (N, H, W, cq) output — at cq >= 128 the lanes
+    are already full, so block1 stays in the cat9 dense form instead of
+    repacking."""
+    return _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair,
+                           b_pair, w_blk1, b_blk1, tile_rows=tile_rows,
+                           packed_out=False)
+
+
+def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
+                    w_blk1, b_blk1, *, tile_rows, packed_out):
     n, h2, wq2, c = x.shape
     h, wp = 2 * h2, 2 * wq2
     cq = w_pair.shape[-1]
@@ -318,12 +352,23 @@ def fused_up2(x: jax.Array, e1: jax.Array, gate_p1: jax.Array,
                             make_cat9_weights(w_pair[:, :, :c], dtype)],
                            axis=1)                   # (9C, C+cq)
     wpg = make_cat9_weights(w_pair[:, :, c:], dtype)  # (9C, cq)
-    wblk1 = make_cat_weights(w_blk1, dtype)           # (6*2cq, 2cq)
-    pad = max(0, c - 2 * cq)
+    if packed_out:
+        wblk1 = make_cat_weights(w_blk1, dtype)       # (6*2cq, 2cq)
+        b1 = jnp.tile(b_blk1.astype(jnp.float32), 2)
+        out_spec = pl.BlockSpec((1, th, wp // 2, 2 * cq),
+                                lambda ni, i: (ni, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, h, wp // 2, 2 * cq), dtype)
+    else:
+        wblk1 = make_cat9_weights(w_blk1, dtype)      # (9cq, cq)
+        b1 = b_blk1.astype(jnp.float32)
+        out_spec = pl.BlockSpec((1, th, wp, cq), lambda ni, i: (ni, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, h, wp, cq), dtype)
     biases = jnp.stack([
         b_d2.astype(jnp.float32),
         jnp.zeros((c,), jnp.float32),                 # unused slot
-        jnp.pad(jnp.tile(b_blk1.astype(jnp.float32), 2), (0, pad)),
+        jnp.pad(b1, (0, max(0, c - b1.shape[0]))),
         b_up.astype(jnp.float32),
     ])                                                # (4, C)
     bpair = b_pair.astype(jnp.float32)[None]          # (1, cq)
@@ -331,7 +376,8 @@ def fused_up2(x: jax.Array, e1: jax.Array, gate_p1: jax.Array,
     gate = gate_p1.astype(dtype)[:, None, :]          # (N, 1, C)
 
     kernel = functools.partial(
-        _up2_kernel, th=th, h=h, wp=wp, c=c, cq=cq, dtype=dtype)
+        _up2_kernel, th=th, h=h, wp=wp, c=c, cq=cq, dtype=dtype,
+        packed_out=packed_out)
     return pl.pallas_call(
         kernel,
         grid=(n, h // th),
@@ -346,17 +392,15 @@ def fused_up2(x: jax.Array, e1: jax.Array, gate_p1: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * c, cq), lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((12 * cq, 2 * cq), lambda ni, i: (0, 0),
+            pl.BlockSpec(wblk1.shape, lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, c), lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cq), lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, wp // 2, 2 * cq),
-                               lambda ni, i: (ni, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, wp // 2, 2 * cq), dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, th // 2 + 4, wp // 2, c), dtype),
             pltpu.VMEM((2, th + 4, wp, c), dtype),

@@ -153,8 +153,8 @@ def make_sharded_pipeline(pipeline, mesh: Mesh, *, source: str = "gray"):
               "grades_padded": pipeline._grades_padded}[source]
     n_batch_args = 2 if source == "grades_padded" else 1
 
-    if getattr(pipeline, "fused_up1", False) or getattr(pipeline,
-                                                        "fused_up2", False):
+    if any(getattr(pipeline, f, False)
+           for f in ("fused_up1", "fused_up2", "fused_up34")):
         # A pallas_call cannot be GSPMD-partitioned, but under shard_map each
         # device traces its OWN per-shard program — the fused Pallas up1 tail
         # runs per-device and only the batch axis is split, so the dp-sharded

@@ -68,7 +68,8 @@ def make_pp_pipeline(pipeline, mesh: Mesh) -> Callable:
             # tail stays available here just like in the dp runner (mesh.py)
             fwd = (partial(_engine.unet_forward_packed,
                            fused_up1=pipeline.fused_up1,
-                           fused_up2=getattr(pipeline, "fused_up2", False))
+                           fused_up2=getattr(pipeline, "fused_up2", False),
+                           fused_up34=getattr(pipeline, "fused_up34", False))
                    if use_packed else _engine.unet_forward)
             logits = fwd(unet_vars, imgs)
         else:

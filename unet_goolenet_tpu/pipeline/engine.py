@@ -283,12 +283,13 @@ def unet_forward_packed_tail_fused(variables: Dict[str, Any], y_p, x1_p,
         p["outc"]["conv"]["kernel"][0, 0], p["outc"]["conv"]["bias"])
 
 
-def _up2_fused(y, skip, p, s, dtype) -> jax.Array:
-    """up2 via the fused Pallas kernels (ops/pallas/up2.py): gate pass
-    (dense e1 ConvBatchNorm + global mean/max), the tiny 1x1 squeeze-excite
-    gate in XLA, then one VMEM-resident kernel for deconv -> d2 ->
-    gate-combine -> split-sum pair -> repack -> block1. Returns the packed
-    (N, H, W/2, 2*cq) level output."""
+def _up_fused(y, skip, p, s, dtype, *, packed_out) -> jax.Array:
+    """A decoder level via the fused Pallas kernels (ops/pallas/up2.py):
+    gate pass (dense e1 ConvBatchNorm + global mean/max), the tiny 1x1
+    squeeze-excite gate in XLA, then one VMEM-resident kernel for deconv ->
+    d2 -> gate-combine -> split-sum pair -> block1. packed_out=True (up2)
+    returns the packed (N, H, W/2, 2*cq) output; False (up3/up4) the dense
+    (N, H, W, cq) output."""
     from unet_goolenet_tpu.ops.pallas import up2 as PU2
 
     u = p
@@ -301,20 +302,24 @@ def _up2_fused(y, skip, p, s, dtype) -> jax.Array:
         jax.nn.relu(_conv1x1(mx.astype(dtype), u["cca"]["fc_max"])),
         u["cca"]["fc_out"]))                              # (N,1,1,C)
     gate_p1 = 1.0 + gate[:, 0, 0, :]                      # (N, C)
-    c = skip.shape[-1]
     w_d2, b_d2 = _fold(u["cca"]["conv2_e"]["block0"],
                        us["cca"]["conv2_e"]["block0"])
     w_pair, b_pair = _fold(u["nConvs"]["block0"], us["nConvs"]["block0"])
     w_blk1, b_blk1 = _fold(u["nConvs"]["block1"], us["nConvs"]["block1"])
-    return PU2.fused_up2(
-        y, e1, gate_p1,
-        u["up"]["kernel"], u["up"]["bias"],
-        w_d2, b_d2, w_pair, b_pair, w_blk1, b_blk1)
+    fn = PU2.fused_up2 if packed_out else PU2.fused_up_dense
+    return fn(y, e1, gate_p1,
+              u["up"]["kernel"], u["up"]["bias"],
+              w_d2, b_d2, w_pair, b_pair, w_blk1, b_blk1)
+
+
+def _up2_fused(y, skip, p, s, dtype) -> jax.Array:
+    return _up_fused(y, skip, p, s, dtype, packed_out=True)
 
 
 def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
                         *, fused_up1: bool = False,
-                        fused_up2: bool = False) -> jax.Array:
+                        fused_up2: bool = False,
+                        fused_up34: bool = False) -> jax.Array:
     """Engine forward with the 64-channel levels in pixel-packed layout.
 
     Numerically identical to `unet_forward` up to f32 summation order
@@ -323,10 +328,11 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
     (benchmarks/RESULTS.md r2b). Requires an even image width.
 
     fused_up1=True additionally runs the up1+outc tail as the fused Pallas
-    kernel; fused_up2=True does the same for the up2 level (ops/pallas/up2.py:
-    deconv -> CoordAtt3 gate -> split-sum pair -> block1, one VMEM residency).
-    Serving graphs only; the dp-sharded runners keep both by tracing
-    per-device programs under shard_map — parallel/mesh.py.
+    kernel; fused_up2=True does the same for the up2 level and fused_up34
+    for up3+up4 (ops/pallas/up2.py: deconv -> CoordAtt3 gate -> split-sum
+    pair -> block1, one VMEM residency per level). Serving graphs only; the
+    dp-sharded runners keep them by tracing per-device programs under
+    shard_map — parallel/mesh.py.
     """
     p = variables["params"]
     s = variables["batch_stats"]
@@ -350,8 +356,14 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
         feats.append(h)
 
     _, out0 = _transformer(feats[3], feats[3], p["task2"], s["task2"])
-    y = _up_alig(out0, feats[2], p["up4"], s["up4"])
-    y = _up_alig(y, feats[1], p["up3"], s["up3"])
+    if fused_up34 and hh % 2 == 0:
+        y = _up_fused(out0, feats[2], p["up4"], s["up4"], dtype,
+                      packed_out=False)
+        y = _up_fused(y, feats[1], p["up3"], s["up3"], dtype,
+                      packed_out=False)
+    else:
+        y = _up_alig(out0, feats[2], p["up4"], s["up4"])
+        y = _up_alig(y, feats[1], p["up3"], s["up3"])
 
     # up2: cca runs at 128ch (dense); the two output convs emit packed 64ch
     if fused_up2 and hh % 2 == 0:
