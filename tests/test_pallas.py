@@ -440,3 +440,38 @@ class TestFusedUpDense:
                                          fused_up34=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestFusedDown1:
+    """fused_pool_down1 vs maxpool + the XLA conv stack."""
+
+    @pytest.mark.parametrize("tile_rows", [8, 4, 2])
+    def test_matches_xla(self, tile_rows):
+        from unet_goolenet_tpu.ops import packed as P
+        from unet_goolenet_tpu.ops.pallas.down1 import fused_pool_down1
+        n, h2, wp, c = 2, 32, 16, 8   # packed input @32x32 logical, 8ch
+        co = 2 * c
+        # inc output is post-relu: keep inputs >= 0 so the zero-fill halo
+        # matches the real precondition
+        x1_p = jnp.abs(rand(n, h2, wp, 2 * c))
+        w1, b1 = rand(3, 3, c, co) * 0.3, rand(co)
+        w2, b2 = rand(3, 3, co, co) * 0.3, rand(co)
+        pool = P.max_pool2x2_p_to_dense(x1_p)
+        ref = jax.nn.relu(ops.conv2d(pool, w1, b1, padding=1))
+        ref = jax.nn.relu(ops.conv2d(ref, w2, b2, padding=1))
+        got = fused_pool_down1(x1_p, w1, b1, w2, b2, tile_rows=tile_rows)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_engine_forward_with_fused_down1(self):
+        from unet_goolenet_tpu.models import UNetTaskAligWeight
+        from unet_goolenet_tpu.pipeline import engine
+
+        model = UNetTaskAligWeight(n_classes=1)
+        x = jnp.asarray(RNG.standard_normal((1, 32, 32, 3)).astype(np.float32))
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        ref = engine.unet_forward_packed(v, x)
+        got = engine.unet_forward_packed(v, x, fused_down1=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

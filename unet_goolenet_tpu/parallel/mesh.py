@@ -154,7 +154,7 @@ def make_sharded_pipeline(pipeline, mesh: Mesh, *, source: str = "gray"):
     n_batch_args = 2 if source == "grades_padded" else 1
 
     if any(getattr(pipeline, f, False)
-           for f in ("fused_up1", "fused_up2", "fused_up34")):
+           for f in ("fused_up1", "fused_up2", "fused_up34", "fused_down1")):
         # A pallas_call cannot be GSPMD-partitioned, but under shard_map each
         # device traces its OWN per-shard program — the fused Pallas up1 tail
         # runs per-device and only the batch axis is split, so the dp-sharded

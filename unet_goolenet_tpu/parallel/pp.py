@@ -69,7 +69,9 @@ def make_pp_pipeline(pipeline, mesh: Mesh) -> Callable:
             fwd = (partial(_engine.unet_forward_packed,
                            fused_up1=pipeline.fused_up1,
                            fused_up2=getattr(pipeline, "fused_up2", False),
-                           fused_up34=getattr(pipeline, "fused_up34", False))
+                           fused_up34=getattr(pipeline, "fused_up34", False),
+                           fused_down1=getattr(pipeline, "fused_down1",
+                                               False))
                    if use_packed else _engine.unet_forward)
             logits = fwd(unet_vars, imgs)
         else:

@@ -319,7 +319,8 @@ def _up2_fused(y, skip, p, s, dtype) -> jax.Array:
 def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
                         *, fused_up1: bool = False,
                         fused_up2: bool = False,
-                        fused_up34: bool = False) -> jax.Array:
+                        fused_up34: bool = False,
+                        fused_down1: bool = False) -> jax.Array:
     """Engine forward with the 64-channel levels in pixel-packed layout.
 
     Numerically identical to `unet_forward` up to f32 summation order
@@ -347,8 +348,16 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
 
     # pool straight out of the packed layout into the dense 112^2 tensor
     # (rows-only reduce_window + lane-half max); down1 onward runs dense
-    h = P.max_pool2x2_p_to_dense(x1_p)
-    h = _stack(h, t["down1"]["nConvs"], ts["down1"]["nConvs"])
+    if fused_down1 and hh % 2 == 0:
+        from unet_goolenet_tpu.ops.pallas.down1 import fused_pool_down1
+        d = t["down1"]["nConvs"]
+        ds = ts["down1"]["nConvs"]
+        w1, b1 = _fold(d["block0"], ds["block0"])
+        w2, b2 = _fold(d["block1"], ds["block1"])
+        h = fused_pool_down1(x1_p, w1, b1, w2, b2)
+    else:
+        h = P.max_pool2x2_p_to_dense(x1_p)
+        h = _stack(h, t["down1"]["nConvs"], ts["down1"]["nConvs"])
     feats = [h]  # x2 (128ch @112^2)
     for i in range(2, 5):
         h = ops.max_pool2d(h, 2)

@@ -97,7 +97,7 @@ class TwoStagePipeline:
     def __init__(self, unet, unet_vars, gnet, gnet_vars, *, img_size: int = 224,
                  padding: int = 30, dtype=jnp.float32, use_engine: bool = True,
                  fused_up1: bool = None, fused_up2: bool = None,
-                 fused_up34: bool = None):
+                 fused_up34: bool = None, fused_down1: bool = None):
         self.unet = unet
         self.gnet = gnet
         self.unet_vars = unet_vars
@@ -114,9 +114,12 @@ class TwoStagePipeline:
             fused_up2 = jax.default_backend() not in ("cpu",)
         if fused_up34 is None:
             fused_up34 = jax.default_backend() not in ("cpu",)
+        if fused_down1 is None:
+            fused_down1 = jax.default_backend() not in ("cpu",)
         self.fused_up1 = fused_up1
         self.fused_up2 = fused_up2
         self.fused_up34 = fused_up34
+        self.fused_down1 = fused_down1
 
         hw = (img_size, img_size)
 
@@ -130,7 +133,8 @@ class TwoStagePipeline:
         # levels as single VMEM-resident Pallas kernels (ops/pallas/up{1,2}).
         unet_engine_fwd = (
             partial(_engine.unet_forward_packed, fused_up1=fused_up1,
-                    fused_up2=fused_up2, fused_up34=fused_up34)
+                    fused_up2=fused_up2, fused_up34=fused_up34,
+                    fused_down1=fused_down1)
             if img_size % 2 == 0 else _engine.unet_forward)
 
         def _seg(unet_vars, imgs):
