@@ -123,6 +123,35 @@ def main_chain2(x, skip, ws, c, tile_rows=None):
                         tile_rows=tile_rows)
 
 
+def xla_chain_d1(x1_p, ws):
+    pool = P.max_pool2x2_p_to_dense(x1_p)
+    h = jax.nn.relu(O.conv2d(pool, ws["w1"].astype(x1_p.dtype),
+                             ws["b1"].astype(x1_p.dtype), padding=1))
+    return jax.nn.relu(O.conv2d(h, ws["w2"].astype(x1_p.dtype),
+                                ws["b2"].astype(x1_p.dtype), padding=1))
+
+
+def fused_chain_d1(x1_p, ws, tile_rows=None):
+    from unet_goolenet_tpu.ops.pallas.down1 import fused_pool_down1
+    return fused_pool_down1(x1_p, ws["w1"], ws["b1"], ws["w2"], ws["b2"],
+                            tile_rows=tile_rows)
+
+
+def run_timed_d1(mode, tile, batch):
+    c, co = 64, 128
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.1
+    ws = dict(w1=r(3, 3, c, co), b1=r(co), w2=r(3, 3, co, co), b2=r(co))
+    dt = jnp.bfloat16
+    x1_p = jnp.abs(jnp.asarray(
+        rng.standard_normal((batch, 224, 112, 2 * c)).astype(np.float32))).astype(dt)
+    if mode == "xlad1":
+        t = scan_time(functools.partial(xla_chain_d1, ws=ws), (x1_p,))
+    else:
+        t = scan_time(functools.partial(fused_chain_d1, ws=ws,
+                                        tile_rows=tile), (x1_p,))
+    print(f"{mode} tile={tile} batch={batch}: {t:.2f} ms/batch", flush=True)
+
+
 def run_timed2(mode, tile, batch):
     c, cq = 128, 64
     ws = make_ws2(c, cq)
@@ -209,7 +238,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="fused",
                     choices=["parity", "parity-prod", "xla", "fused", "gate",
-                             "main", "xla2", "fused2", "gate2", "main2"])
+                             "main", "xla2", "fused2", "gate2", "main2",
+                             "xlad1", "fusedd1"])
     ap.add_argument("--tile", type=int, default=56)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--ablate", default="",
@@ -226,6 +256,8 @@ def main():
         run_parity()
     elif args.mode == "parity-prod":
         run_parity_prod()
+    elif args.mode.endswith("d1"):
+        run_timed_d1(args.mode, args.tile, args.batch)
     elif args.mode.endswith("2"):
         run_timed2(args.mode, args.tile, args.batch)
     else:
