@@ -123,6 +123,54 @@ def main_chain2(x, skip, ws, c, tile_rows=None):
                         tile_rows=tile_rows)
 
 
+def xla_chain_dense(x, skip, ws, c):
+    """The engine's dense _up_alig section (up3/up4: no packing anywhere)."""
+    e1 = jax.nn.relu(O.conv2d(skip, ws["w_e1"].astype(skip.dtype),
+                              ws["b_e1"].astype(skip.dtype), padding=1))
+    avg = jnp.mean(e1, axis=(1, 2), keepdims=True)
+    mx = jnp.max(e1, axis=(1, 2), keepdims=True)
+    gate = jax.nn.sigmoid(avg + mx)  # stand-in for the tiny fc gate
+    up = O.conv_transpose2x2(x, ws["w_up"].astype(x.dtype),
+                             ws["b_up"].astype(x.dtype))
+    d2 = jax.nn.relu(O.conv2d(up, ws["w_d2"].astype(x.dtype),
+                              ws["b_d2"].astype(x.dtype), padding=1))
+    gated = e1 + gate.astype(x.dtype) * d2 + d2
+    hh = jax.nn.relu(O.conv2d(jnp.concatenate([up, gated], -1),
+                              ws["w_pair"].astype(x.dtype),
+                              ws["b_pair"].astype(x.dtype), padding=1))
+    return jax.nn.relu(O.conv2d(hh, ws["w_blk1"].astype(x.dtype),
+                                ws["b_blk1"].astype(x.dtype), padding=1))
+
+
+def fused_chain_dense(x, skip, ws, c, tile_rows=None):
+    from unet_goolenet_tpu.ops.pallas import up2 as U2
+    e1, avg, mx = U2.fused_cbn_stats_dense(skip, ws["w_e1"], ws["b_e1"])
+    gate = jax.nn.sigmoid(avg + mx).astype(x.dtype)
+    return U2.fused_up_dense(x, e1, 1.0 + gate[:, 0, 0, :],
+                             ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"],
+                             ws["w_pair"], ws["b_pair"],
+                             ws["w_blk1"], ws["b_blk1"], tile_rows=tile_rows)
+
+
+def run_timed_dense(mode, tile, batch):
+    """up3/up4 whole-level timing (dense fused variant, ops/pallas/up2.py
+    fused_up_dense) vs the engine's XLA chain."""
+    lvl = int(mode[-1])
+    c, cq, h = {3: (256, 128, 56), 4: (512, 256, 28)}[lvl]
+    ws = make_ws2(c, cq)
+    dt = jnp.bfloat16
+    x = jnp.asarray(rng.standard_normal(
+        (batch, h // 2, h // 2, c)).astype(np.float32)).astype(dt)
+    skip = jnp.asarray(rng.standard_normal(
+        (batch, h, h, c)).astype(np.float32)).astype(dt)
+    fn = xla_chain_dense if mode.startswith("xla") else fused_chain_dense
+    kw = dict(ws=ws, c=c)
+    if not mode.startswith("xla"):
+        kw["tile_rows"] = tile
+    t = scan_time(functools.partial(fn, **kw), (x, skip))
+    print(f"{mode} tile={tile} batch={batch}: {t:.2f} ms/batch", flush=True)
+
+
 def xla_chain_d1(x1_p, ws):
     pool = P.max_pool2x2_p_to_dense(x1_p)
     h = jax.nn.relu(O.conv2d(pool, ws["w1"].astype(x1_p.dtype),
@@ -239,6 +287,7 @@ def main():
     ap.add_argument("--mode", default="fused",
                     choices=["parity", "parity-prod", "xla", "fused", "gate",
                              "main", "xla2", "fused2", "gate2", "main2",
+                             "xla3", "fused3", "xla4", "fused4",
                              "xlad1", "fusedd1"])
     ap.add_argument("--tile", type=int, default=56)
     ap.add_argument("--batch", type=int, default=64)
@@ -258,6 +307,8 @@ def main():
         run_parity_prod()
     elif args.mode.endswith("d1"):
         run_timed_d1(args.mode, args.tile, args.batch)
+    elif args.mode.endswith("3") or args.mode.endswith("4"):
+        run_timed_dense(args.mode, args.tile, args.batch)
     elif args.mode.endswith("2"):
         run_timed2(args.mode, args.tile, args.batch)
     else:

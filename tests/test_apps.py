@@ -240,3 +240,33 @@ def test_data_parallel_clis(dp_data_root, tmp_path):
     assert run_infer("dp", ["--data-parallel"]) == single
     assert run_infer("dp_dev", ["--data-parallel", "--device-preprocess"]) == \
         run_infer("dev", ["--device-preprocess"])
+
+
+def test_engine_roi_extractor_matches_flax():
+    """--engine-roi routes the frozen-UNet ROI extraction through the packed
+    engine forward; crops and logits must match the flax-apply path (same
+    numerics up to f32 summation order — tests/test_engine.py asserts the
+    forward itself; this locks the extractor plumbing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_goolenet_tpu.apps.train_cls import make_roi_extractor
+    from unet_goolenet_tpu.models import UNetTaskAligWeight
+    from unet_goolenet_tpu.train import optim
+    from unet_goolenet_tpu.train.seg import init_seg_state
+
+    unet = UNetTaskAligWeight(n_classes=1)
+    seg_state = init_seg_state(unet, optim.make_adamw(), jax.random.PRNGKey(3),
+                               input_shape=(1, S, S, 3))
+    unet_vars = {"params": seg_state.params,
+                 "batch_stats": seg_state.batch_stats}
+    imgs = jnp.asarray(RNG.random((2, S, S, 3)), jnp.float32)
+
+    dense = make_roi_extractor(unet, unet_vars, S, engine=False)
+    packed = make_roi_extractor(unet, unet_vars, S, engine=True)
+    crops_d, logits_d = dense(imgs)
+    crops_p, logits_p = packed(imgs)
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(logits_d),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(crops_p), np.asarray(crops_d),
+                               atol=1e-4)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from unet_goolenet_tpu.data import ClsDataset, DataLoader
 from unet_goolenet_tpu.eval import ClsMetrics
 from unet_goolenet_tpu.models import UNetTaskAligWeight, GoogLeNetClassifier
-from unet_goolenet_tpu.pipeline.two_stage import segment, extract_roi
+from unet_goolenet_tpu.pipeline.two_stage import extract_roi
 from unet_goolenet_tpu.train import optim
 from unet_goolenet_tpu.train.checkpoint import CheckpointManager
 from unet_goolenet_tpu.train.cls import (
@@ -65,7 +65,47 @@ def parse_args(argv=None):
                    help="fully device-resident training: stage the wavelet images "
                         "once; each epoch runs frozen-UNet ROI extraction, crop "
                         "augmentation, and ALL train steps as compiled programs")
+    p.add_argument("--engine-roi", choices=["auto", "on", "off"], default="auto",
+                   help="run the frozen-UNet ROI extraction through the packed "
+                        "engine forward (pipeline/engine.py) instead of the flax "
+                        "apply — same numerics up to f32 summation order, "
+                        "measured faster on TPU (benchmarks/RESULTS.md r2b). "
+                        "'auto' = on for TPU backends with an even --img-size")
     return p.parse_args(argv)
+
+
+def make_roi_extractor(unet, unet_vars, img_size: int, *, engine: bool,
+                       fused: bool = False):
+    """The batched frozen-UNet -> masks -> (crops, full-image logits) graph
+    (the reference runs this per image inside Dataset.__getitem__,
+    分类/ROI_main.py:142-162 + util/roi.py:12-51).
+
+    engine=True swaps the flax apply for the packed engine forward
+    (numerically identical up to f32 summation order, tests/test_engine.py);
+    fused=True additionally enables the fused Pallas decoder/encoder levels —
+    single-device serving only (pallas_call does not partition under a GSPMD
+    jit; the dp extract path relies on GSPMD propagation, so dp keeps
+    fused=False just like parallel/mesh.make_sharded_pipeline's shard_map
+    note)."""
+    if engine:
+        from unet_goolenet_tpu.pipeline import engine as _engine
+
+        def unet_fwd(v, imgs):
+            return _engine.unet_forward_packed(
+                v, imgs, fused_up1=fused, fused_up2=fused,
+                fused_up34=fused, fused_down1=fused)
+    else:
+        def unet_fwd(v, imgs):
+            return unet.apply(v, imgs, train=False)
+
+    @jax.jit
+    def extract(imgs):
+        logits = unet_fwd(unet_vars, imgs)
+        masks = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+        crops, _ = extract_roi(imgs, masks, out_hw=(img_size, img_size))
+        return crops, logits
+
+    return extract
 
 
 def main(argv=None):
@@ -109,13 +149,13 @@ def main(argv=None):
         # replicated on the mesh + batch sharded over 'data' below
         unet_vars = replicate(mesh, unet_vars)
 
-    @jax.jit
-    def extract(imgs):
-        """batched frozen-UNet -> masks -> (crops, full-image logits)."""
-        logits, masks = segment(unet, unet_vars, imgs)
-        crops, _ = extract_roi(imgs, masks,
-                               out_hw=(args.img_size, args.img_size))
-        return crops, logits
+    use_engine = args.img_size % 2 == 0 and (
+        args.engine_roi == "on"
+        or (args.engine_roi == "auto" and jax.default_backend() not in ("cpu",)))
+    extract = make_roi_extractor(
+        unet, unet_vars, args.img_size, engine=use_engine,
+        fused=use_engine and mesh is None
+        and jax.default_backend() not in ("cpu",))
 
     # device-resident ROI-crop augmentation (the reference does this on host per
     # item, ROI_main.py:117-122; here it joins the jitted batch path)
