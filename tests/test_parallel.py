@@ -115,3 +115,32 @@ class TestShardedTraining:
             PU._INTERPRET = old
         np.testing.assert_array_equal(np.asarray(out["grades"]),
                                       np.asarray(ref["grades"]))
+
+
+class TestEngineRoiExtractorSharded:
+    def test_dp_extractor_matches_single_device(self, mesh):
+        """apps/train_cls --engine-roi under --data-parallel: the packed-engine
+        extractor jit gets batch-sharded imgs (GSPMD propagation, fused Pallas
+        off — see make_roi_extractor's docstring); crops/logits must match the
+        single-device run."""
+        from unet_goolenet_tpu.apps.train_cls import make_roi_extractor
+        from unet_goolenet_tpu.train.seg import init_seg_state as _init
+
+        S = 32
+        model = UNetTaskAligWeight(n_classes=1)
+        st = _init(model, optim.make_adamw(), KEY, input_shape=(1, S, S, 3))
+        unet_vars = {"params": st.params, "batch_stats": st.batch_stats}
+        imgs = jax.random.uniform(KEY, (8, S, S, 3))
+
+        ex = make_roi_extractor(model, unet_vars, S, engine=True)
+        crops_ref, logits_ref = ex(imgs)
+
+        unet_vars_r = replicate(mesh, unet_vars)
+        ex_dp = make_roi_extractor(model, unet_vars_r, S, engine=True)
+        sharded = shard_batch(mesh, {"imgs": imgs})
+        crops_dp, logits_dp = ex_dp(sharded["imgs"])
+        assert len(logits_dp.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(logits_dp), np.asarray(logits_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(crops_dp), np.asarray(crops_ref),
+                                   atol=1e-5)
