@@ -43,27 +43,50 @@ def measure_ours() -> float:
     uv = unet.init({"params": key}, jnp.zeros((1, SIZE, SIZE, 3)), train=False)
     gv = gnet.init({"params": key, "dropout": key},
                    jnp.zeros((1, SIZE, SIZE, 3)), train=False)
-    pipe = TwoStagePipeline(unet, uv, gnet, gv, img_size=SIZE, dtype=dtype)
 
-    # Steady-state chip throughput: ONE jitted lax.scan over n_iters distinct
-    # batches generated on device (the dev tunnel adds ~12 ms per dispatch and
-    # ~24 ms per fetch; a python-side loop measures the tunnel, not the chip).
-    # Every batch is genuinely processed — the single final fetch depends on all
-    # scan steps.
+    # BENCH_FUSED=0 forces the fused Pallas levels off (sweeps/debug); default
+    # lets TwoStagePipeline pick (auto-on for TPU backends).
+    fused_env = os.environ.get("BENCH_FUSED")
+    fused_kw = {}
+    if fused_env is not None:
+        v = fused_env != "0"
+        fused_kw = dict(fused_up1=v, fused_up2=v, fused_up34=v, fused_down1=v)
+
+    def build(**kw):
+        pipe = TwoStagePipeline(unet, uv, gnet, gv, img_size=SIZE, dtype=dtype,
+                                **kw)
+        # Steady-state chip throughput: ONE jitted lax.scan over n_iters
+        # distinct batches generated on device (the dev tunnel adds ~12 ms per
+        # dispatch and ~24 ms per fetch; a python-side loop measures the
+        # tunnel, not the chip). Every batch is genuinely processed — the
+        # single final fetch depends on all scan steps.
+        e2e = pipe._grades.__wrapped__
+
+        @jax.jit
+        def run_many(unet_vars, gnet_vars, grays):
+            def body(_, g):
+                return _, e2e(unet_vars, gnet_vars, g)
+
+            _, all_grades = jax.lax.scan(body, 0, grays)
+            return all_grades
+
+        return pipe, run_many
+
     n_iters = 20
-    e2e = pipe._grades.__wrapped__
-
-    @jax.jit
-    def run_many(unet_vars, gnet_vars, grays):
-        def body(_, g):
-            return _, e2e(unet_vars, gnet_vars, g)
-
-        _, all_grades = jax.lax.scan(body, 0, grays)
-        return all_grades
-
     grays = jax.random.uniform(
         jax.random.PRNGKey(0), (n_iters, BATCH) + IMG_HW, jnp.float32, 0.0, 255.0)
-    _ = np.asarray(run_many(pipe.unet_vars, pipe.gnet_vars, grays))  # compile
+    pipe, run_many = build(**fused_kw)
+    try:
+        _ = np.asarray(run_many(pipe.unet_vars, pipe.gnet_vars, grays))  # compile
+    except Exception as e:  # pragma: no cover - chip-compile guard
+        # A fused Pallas level failing to COMPILE (e.g. a scoped-vmem limit on
+        # a new libtpu) must not cost the headline: fall back to the packed
+        # XLA graph, which is the measured r2b configuration.
+        print(f"[bench] fused pipeline compile failed ({type(e).__name__}); "
+              f"falling back to packed XLA graph", file=sys.stderr)
+        pipe, run_many = build(fused_up1=False, fused_up2=False,
+                               fused_up34=False, fused_down1=False)
+        _ = np.asarray(run_many(pipe.unet_vars, pipe.gnet_vars, grays))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
