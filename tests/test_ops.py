@@ -263,3 +263,40 @@ class TestBBox:
         crops = fn(imgs, masks)
         assert crops.shape == (4, 224, 224, 3)
         assert np.isfinite(np.asarray(crops)).all()
+
+
+class TestCropMatmul:
+    """crop_and_resize_matmul (the MXU weight-matrix form) vs the gather form:
+    identical taps, one extra f32 rounding in the lerp."""
+
+    def test_matches_gather_form(self):
+        from unet_goolenet_tpu.ops.bbox import crop_and_resize, crop_and_resize_matmul
+
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.random((57, 43, 3)), jnp.float32)
+        boxes = [
+            (5, 30, 7, 40),     # interior box
+            (0, 57, 0, 43),     # full image
+            (10, 11, 20, 21),   # degenerate 1x1 box
+            (50, 57, 0, 5),     # corner-clamped thin box
+        ]
+        for b in boxes:
+            box = tuple(jnp.asarray(v, jnp.int32) for v in b)
+            a = np.asarray(crop_and_resize(img, box, (32, 48)))
+            m = np.asarray(crop_and_resize_matmul(img, box, (32, 48)))
+            np.testing.assert_allclose(m, a, atol=1e-5, err_msg=str(b))
+
+    def test_roi_from_mask_matmul_path(self):
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.random((64, 64, 3)), jnp.float32)
+        mask = jnp.zeros((64, 64)).at[20:40, 10:50].set(1.0)
+        a, box_a = ops.roi_from_mask(img, mask, out_hw=(32, 32))
+        m, box_m = ops.roi_from_mask(img, mask, out_hw=(32, 32), matmul=True)
+        np.testing.assert_array_equal(np.asarray(box_m), np.asarray(box_a))
+        np.testing.assert_allclose(np.asarray(m), np.asarray(a), atol=1e-5)
+
+        # empty mask: centre-fallback box must go through the matmul crop too
+        a, _ = ops.roi_from_mask(img, jnp.zeros((64, 64)), out_hw=(32, 32))
+        m, _ = ops.roi_from_mask(img, jnp.zeros((64, 64)), out_hw=(32, 32),
+                                 matmul=True)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(a), atol=1e-5)

@@ -25,6 +25,15 @@ def build_pipeline(img_size=S):
     return TwoStagePipeline(unet, uv, gnet, gv, img_size=img_size)
 
 
+def build_pipeline_kw(img_size=S, **kw):
+    unet = UNetTaskAligWeight(n_classes=1)
+    gnet = GoogLeNetClassifier(num_classes=6)
+    uv = unet.init({"params": KEY}, jnp.zeros((1, img_size, img_size, 3)), train=False)
+    gv = gnet.init({"params": KEY, "dropout": KEY},
+                   jnp.zeros((1, img_size, img_size, 3)), train=False)
+    return TwoStagePipeline(unet, uv, gnet, gv, img_size=img_size, **kw)
+
+
 class TestPreprocess:
     def test_shapes_and_range(self):
         gray = jax.random.uniform(KEY, (2, 100, 120)) * 255
@@ -32,6 +41,22 @@ class TestPreprocess:
         assert out.shape == (2, S, S, 3)
         o = np.asarray(out)
         assert o.min() >= -1e-3 and o.max() <= 1.0 + 1e-3
+
+    def test_mxu_layout_matches_nhwc(self):
+        """mxu_layout=True (NCHW resize, TwoStagePipeline's TPU default) is the
+        same per-channel math as the NHWC path; parity on both ingest paths."""
+        gray = jax.random.uniform(KEY, (2, 100, 120)) * 255
+        a = np.asarray(preprocess_gray(gray, out_hw=(S, S)))
+        b = np.asarray(preprocess_gray(gray, out_hw=(S, S), mxu_layout=True))
+        np.testing.assert_allclose(b, a, atol=1e-5)
+
+        vhw = jnp.asarray([[100, 120], [80, 100]], jnp.int32)
+        pad = jnp.stack([gray[0], jnp.pad(gray[1, :80, :100],
+                                          ((0, 20), (0, 20)), mode="edge")])
+        a = np.asarray(preprocess_gray_padded(pad, vhw, out_hw=(S, S)))
+        b = np.asarray(preprocess_gray_padded(pad, vhw, out_hw=(S, S),
+                                              mxu_layout=True))
+        np.testing.assert_allclose(b, a, atol=1e-5)
 
     def test_wavelet_then_resize_order(self):
         # wavelet at native res then resize != resize then wavelet; lock the former
@@ -132,3 +157,22 @@ class TestEndToEnd:
         pipe = build_pipeline()
         masks = pipe.infer_masks(jax.random.uniform(KEY, (2, S, S, 3)))
         assert masks.shape == (2, S, S)
+
+
+class TestMxuGlue:
+    def test_mxu_pipeline_matches_default(self):
+        """mxu_preprocess + mxu_roi (the TPU serving defaults) vs the plain
+        paths: full e2e outputs must agree — grades exactly, crops/boxes to
+        float tolerance."""
+        ref = build_pipeline_kw(mxu_preprocess=False, mxu_roi=False)
+        mxu = build_pipeline_kw(mxu_preprocess=True, mxu_roi=True)
+        mxu.unet_vars, mxu.gnet_vars = ref.unet_vars, ref.gnet_vars
+        gray = jax.random.uniform(KEY, (3, 100, 120)) * 255
+        a = ref.infer_from_gray(gray)
+        b = mxu.infer_from_gray(gray)
+        np.testing.assert_array_equal(np.asarray(b["grades"]),
+                                      np.asarray(a["grades"]))
+        np.testing.assert_array_equal(np.asarray(b["boxes"]),
+                                      np.asarray(a["boxes"]))
+        np.testing.assert_allclose(np.asarray(b["seg_logits"]),
+                                   np.asarray(a["seg_logits"]), atol=1e-3)

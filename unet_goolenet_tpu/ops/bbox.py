@@ -105,15 +105,60 @@ def crop_and_resize(
     return out.astype(image.dtype)
 
 
+def crop_and_resize_matmul(
+    image: jax.Array,
+    box: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],
+    out_hw: Tuple[int, int],
+) -> jax.Array:
+    """`crop_and_resize` as two weight-matrix dots — the MXU form.
+
+    The gather form's column pass gathers along the second-minor dim with a
+    3-wide minor (lane-padded 3 -> 128 on TPU); here each axis is one
+    (out, src) sparse-in-content dense matmul whose minor dims stay the image
+    width / out width. Each weight row holds the same two bilinear taps the
+    gather form reads, so values match up to one f32 rounding (the lerp is
+    evaluated as w0*v0 + w1*v1 instead of v0 + (v1-v0)*t) —
+    tests/test_ops.py::TestCropMatmul.
+    """
+    h, w, c = image.shape
+    oh, ow = out_hw
+    y0, y1, x0, x1 = [b.astype(jnp.float32) for b in box]
+    sy = (y1 - y0) / oh
+    sx = (x1 - x0) / ow
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * sy - 0.5
+    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * sx - 0.5
+
+    def wmat(coords, lo, hi, n):
+        last = hi - lo - 1.0
+        c0 = jnp.clip(jnp.floor(coords), 0.0, last)
+        c1 = jnp.clip(c0 + 1.0, 0.0, last)
+        t = jnp.clip(coords - c0, 0.0, 1.0)[:, None]
+        src = jnp.arange(n, dtype=jnp.float32)[None, :]
+        # clamped degenerate taps (c0 == c1) sum to weight 1.0 at that index
+        return ((src == (c0 + lo)[:, None]) * (1.0 - t)
+                + (src == (c1 + lo)[:, None]) * t)
+
+    wy = wmat(ys, y0, y1, h)                          # (oh, H)
+    wx = wmat(xs, x0, x1, w)                          # (ow, W)
+    img = image.astype(jnp.float32).reshape(h, w * c)
+    rows = (wy @ img).reshape(oh, w, c)               # minor dim w*c
+    rows_t = rows.transpose(0, 2, 1).reshape(oh * c, w)
+    out = (rows_t @ wx.T).reshape(oh, c, ow)          # minor dim ow
+    return out.transpose(0, 2, 1).astype(image.dtype)
+
+
 def roi_from_mask(
     image: jax.Array,
     mask: jax.Array,
     *,
     padding: int = 30,
     out_hw: Tuple[int, int] = (224, 224),
+    matmul: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full ROI bridge for one image: (H, W, C) image + (H, W) mask ->
-    ((oh, ow, C) crop, (4,) int32 box). Batch with jax.vmap."""
+    ((oh, ow, C) crop, (4,) int32 box). Batch with jax.vmap.
+    matmul=True uses the MXU-form crop (crop_and_resize_matmul)."""
     y0, y1, x0, x1, _ = mask_to_bbox(mask, padding)
-    crop = crop_and_resize(image, (y0, y1, x0, x1), out_hw)
+    crop_fn = crop_and_resize_matmul if matmul else crop_and_resize
+    crop = crop_fn(image, (y0, y1, x0, x1), out_hw)
     return crop, jnp.stack([y0, y1, x0, x1])

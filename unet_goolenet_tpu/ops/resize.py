@@ -18,14 +18,21 @@ import jax.numpy as jnp
 
 
 def resize_bilinear(
-    x: jax.Array, out_hw: Tuple[int, int], *, antialias: bool = True
+    x: jax.Array, out_hw: Tuple[int, int], *, antialias: bool = True,
+    channel_first: bool = False
 ) -> jax.Array:
-    """Bilinear resize of NHWC (or HWC / HW) images to (oh, ow)."""
+    """Bilinear resize of NHWC (or HWC / HW) images to (oh, ow).
+
+    channel_first=True treats rank-4 input as NCHW / rank-3 as CHW — the
+    MXU-friendly layout on TPU: the separable resize lowers to weight-matrix
+    dots whose minor dim stays the image width instead of the (lane-padded)
+    3-channel stack."""
     oh, ow = out_hw
     if x.ndim == 4:
-        shape = (x.shape[0], oh, ow, x.shape[3])
+        shape = ((x.shape[0], x.shape[1], oh, ow) if channel_first
+                 else (x.shape[0], oh, ow, x.shape[3]))
     elif x.ndim == 3:
-        shape = (oh, ow, x.shape[2])
+        shape = (x.shape[0], oh, ow) if channel_first else (oh, ow, x.shape[2])
     elif x.ndim == 2:
         shape = (oh, ow)
     else:
@@ -42,6 +49,7 @@ def resize_bilinear_valid(
     *,
     out_valid_hw=None,
     antialias: bool = True,
+    channel_first: bool = False,
 ) -> jax.Array:
     """Bilinear resize of the top-left VALID region of a (possibly padded)
     HW / HWC buffer, with the valid extents as TRACED scalars.
@@ -75,14 +83,18 @@ def resize_bilinear_valid(
         h_out = jnp.asarray(out_valid_hw[0], jnp.float32)
         w_out = jnp.asarray(out_valid_hw[1], jnp.float32)
     scale = jnp.stack([h_out / h_in, w_out / w_in])
+    spatial = (0, 1)
     if x.ndim == 3:
-        shape = (oh, ow, x.shape[2])
+        if channel_first:
+            shape, spatial = (x.shape[0], oh, ow), (1, 2)
+        else:
+            shape = (oh, ow, x.shape[2])
     elif x.ndim == 2:
         shape = (oh, ow)
     else:
         raise ValueError(f"unsupported rank {x.ndim}")
     return jax.image.scale_and_translate(
-        x, shape, (0, 1), scale.astype(x.dtype), jnp.zeros(2, x.dtype),
+        x, shape, spatial, scale.astype(x.dtype), jnp.zeros(2, x.dtype),
         "linear", antialias=antialias,
     )
 

@@ -62,9 +62,12 @@ def _minmax_u8(x: jax.Array, quantize: bool) -> jax.Array:
 
 
 def wavelet_enhance(
-    gray: jax.Array, *, quantize_uint8: bool = True
+    gray: jax.Array, *, quantize_uint8: bool = True, channel_first: bool = False
 ) -> jax.Array:
-    """(H, W) grayscale [0, 255] -> (H, W, 3) pseudo-RGB in [0, 1].
+    """(H, W) grayscale [0, 255] -> (H, W, 3) pseudo-RGB in [0, 1]
+    ((3, H, W) with channel_first=True — the MXU-friendly layout for a
+    following separable resize: the contraction minor dim stays W instead of
+    the 3-channel stack; see pipeline.preprocess_gray(mxu_layout=True)).
 
     Parity notes vs 分类/ROI_main.py:37-83:
       * inputs with max <= 1.0 are rescaled by 255 (line 54-55) — caller's job here;
@@ -83,7 +86,7 @@ def wavelet_enhance(
     r = _minmax_u8(gray, quantize_uint8)
     g = _minmax_u8(low_up, quantize_uint8)
     b = _minmax_u8(high_up, quantize_uint8)
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.stack([r, g, b], axis=0 if channel_first else -1)
 
 
 def _minmax_u8_valid(x: jax.Array, mask: jax.Array, quantize: bool) -> jax.Array:
@@ -99,7 +102,8 @@ def _minmax_u8_valid(x: jax.Array, mask: jax.Array, quantize: bool) -> jax.Array
 
 
 def wavelet_enhance_padded(
-    gray: jax.Array, valid_hw, *, quantize_uint8: bool = True
+    gray: jax.Array, valid_hw, *, quantize_uint8: bool = True,
+    channel_first: bool = False
 ) -> jax.Array:
     """`wavelet_enhance` for an EDGE-padded buffer: the true image is the
     top-left (h, w) = valid_hw (traced scalars) of the even-sized (H, W)
@@ -153,4 +157,4 @@ def wavelet_enhance_padded(
     r = _minmax_u8_valid(gray, mask, quantize_uint8)
     g = _minmax_u8_valid(low_up, mask, quantize_uint8)
     b = _minmax_u8_valid(high_up, mask, quantize_uint8)
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.stack([r, g, b], axis=0 if channel_first else -1)

@@ -62,7 +62,9 @@ def make_pp_pipeline(pipeline, mesh: Mesh) -> Callable:
     use_packed = size % 2 == 0
 
     def stage0(unet_vars, gray):
-        imgs = preprocess_gray(gray, out_hw=hw).astype(dtype)
+        imgs = preprocess_gray(
+            gray, out_hw=hw,
+            mxu_layout=getattr(pipeline, "mxu_preprocess", False)).astype(dtype)
         if pipeline.use_engine:
             # shard_map traces a per-device program, so the fused Pallas up1
             # tail stays available here just like in the dp runner (mesh.py)

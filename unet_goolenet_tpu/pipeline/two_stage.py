@@ -34,21 +34,31 @@ from unet_goolenet_tpu.pipeline import engine as _engine
 
 def preprocess_gray(
     gray: jax.Array, *, out_hw: Tuple[int, int] = (224, 224),
-    quantize_uint8: bool = True,
+    quantize_uint8: bool = True, mxu_layout: bool = False,
 ) -> jax.Array:
     """(N, H, W) raw grayscale [0,255] -> (N, oh, ow, 3) wavelet pseudo-RGB in [0,1].
 
     wavelet at native resolution, then PIL-semantics (antialiased) bilinear resize —
-    the order and kernels of 分类/test.py:127-130."""
-    enhanced = jax.vmap(partial(ops.wavelet_enhance, quantize_uint8=quantize_uint8))(
-        gray
-    )
+    the order and kernels of 分类/test.py:127-130.
+
+    mxu_layout=True runs the separable resize in NCHW: the weight-matrix dots
+    keep the image width as the minor dim instead of the 3-channel stack
+    (which lane-pads 3 -> 128 on TPU); only the small (oh, ow) output is
+    transposed back. Same math per channel — parity in
+    tests/test_pipeline.py."""
+    enhanced = jax.vmap(partial(ops.wavelet_enhance, quantize_uint8=quantize_uint8,
+                                channel_first=mxu_layout))(gray)
+    if mxu_layout:
+        out = ops.resize_bilinear(enhanced, out_hw, antialias=True,
+                                  channel_first=True)
+        return jnp.moveaxis(out, 1, -1)
     return ops.resize_bilinear(enhanced, out_hw, antialias=True)
 
 
 def preprocess_gray_padded(
     gray: jax.Array, valid_hw: jax.Array, *,
     out_hw: Tuple[int, int] = (224, 224), quantize_uint8: bool = True,
+    mxu_layout: bool = False,
 ) -> jax.Array:
     """Size-bucket variant of preprocess_gray: gray is (N, H, W) with each
     image edge-padded (np.pad mode='edge') into the shared bucket buffer and
@@ -58,10 +68,13 @@ def preprocess_gray_padded(
     (分类/test.py:127-130) up to boundary-kernel effects."""
 
     def one(g, vhw):
-        rgb = ops.wavelet_enhance_padded(g, vhw, quantize_uint8=quantize_uint8)
-        return ops.resize_bilinear_valid(rgb, vhw, out_hw, antialias=True)
+        rgb = ops.wavelet_enhance_padded(g, vhw, quantize_uint8=quantize_uint8,
+                                         channel_first=mxu_layout)
+        return ops.resize_bilinear_valid(rgb, vhw, out_hw, antialias=True,
+                                         channel_first=mxu_layout)
 
-    return jax.vmap(one)(gray, valid_hw)
+    out = jax.vmap(one)(gray, valid_hw)
+    return jnp.moveaxis(out, 1, -1) if mxu_layout else out
 
 
 def segment(unet, unet_vars, imgs: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -74,11 +87,14 @@ def segment(unet, unet_vars, imgs: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def extract_roi(
     imgs: jax.Array, masks: jax.Array, *, padding: int = 30,
     out_hw: Tuple[int, int] = (224, 224), swap_rb: bool = True,
+    matmul: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched mask->bbox->crop with the reference's R/B swap. Returns
-    (crops (N,oh,ow,3), boxes (N,4))."""
+    (crops (N,oh,ow,3), boxes (N,4)). matmul=True uses the MXU-form crop
+    (ops.bbox.crop_and_resize_matmul — TwoStagePipeline's TPU default)."""
     crops, boxes = jax.vmap(
-        lambda i, m: ops.roi_from_mask(i, m, padding=padding, out_hw=out_hw)
+        lambda i, m: ops.roi_from_mask(i, m, padding=padding, out_hw=out_hw,
+                                       matmul=matmul)
     )(imgs, masks)
     if swap_rb:
         crops = crops[..., ::-1]
@@ -97,7 +113,8 @@ class TwoStagePipeline:
     def __init__(self, unet, unet_vars, gnet, gnet_vars, *, img_size: int = 224,
                  padding: int = 30, dtype=jnp.float32, use_engine: bool = True,
                  fused_up1: bool = None, fused_up2: bool = None,
-                 fused_up34: bool = None, fused_down1: bool = None):
+                 fused_up34: bool = None, fused_down1: bool = None,
+                 mxu_preprocess: bool = None, mxu_roi: bool = None):
         self.unet = unet
         self.gnet = gnet
         self.unet_vars = unet_vars
@@ -120,6 +137,15 @@ class TwoStagePipeline:
         self.fused_up2 = fused_up2
         self.fused_up34 = fused_up34
         self.fused_down1 = fused_down1
+        if mxu_preprocess is None:
+            # NCHW-layout preprocess resize: same per-channel math (parity in
+            # tests/test_pipeline.py), better lane use on TPU
+            mxu_preprocess = jax.default_backend() not in ("cpu",)
+        self.mxu_preprocess = mxu_preprocess
+        if mxu_roi is None:
+            # weight-matrix-form ROI crop (ops.bbox.crop_and_resize_matmul)
+            mxu_roi = jax.default_backend() not in ("cpu",)
+        self.mxu_roi = mxu_roi
 
         hw = (img_size, img_size)
 
@@ -150,9 +176,11 @@ class TwoStagePipeline:
             return self.gnet.apply(gnet_vars, crops, train=False)
 
         def _e2e(unet_vars, gnet_vars, gray):
-            imgs = preprocess_gray(gray, out_hw=hw).astype(dtype)
+            imgs = preprocess_gray(gray, out_hw=hw,
+                                   mxu_layout=mxu_preprocess).astype(dtype)
             logits, masks = _seg(unet_vars, imgs)
-            crops, boxes = extract_roi(imgs, masks, padding=padding, out_hw=hw)
+            crops, boxes = extract_roi(imgs, masks, padding=padding, out_hw=hw,
+                                       matmul=mxu_roi)
             cls_logits = _cls(gnet_vars, crops)
             grades = jnp.argmax(cls_logits, axis=-1)
             return {
@@ -165,7 +193,9 @@ class TwoStagePipeline:
 
         def _e2e_from_rgb(unet_vars, gnet_vars, imgs):
             logits, masks = _seg(unet_vars, imgs.astype(dtype))
-            crops, boxes = extract_roi(imgs.astype(dtype), masks, padding=padding, out_hw=hw)
+            crops, boxes = extract_roi(imgs.astype(dtype), masks,
+                                       padding=padding, out_hw=hw,
+                                       matmul=mxu_roi)
             cls_logits = _cls(gnet_vars, crops)
             return {
                 "grades": jnp.argmax(cls_logits, axis=-1),
@@ -188,9 +218,12 @@ class TwoStagePipeline:
         def _grades_padded(unet_vars, gnet_vars, gray, valid_hw):
             # size-bucket serving: mixed native resolutions share one compiled
             # graph per bucket (apps/infer_e2e --size-buckets)
-            imgs = preprocess_gray_padded(gray, valid_hw, out_hw=hw).astype(dtype)
+            imgs = preprocess_gray_padded(
+                gray, valid_hw, out_hw=hw,
+                mxu_layout=mxu_preprocess).astype(dtype)
             _, masks = _seg(unet_vars, imgs)
-            crops, _ = extract_roi(imgs, masks, padding=padding, out_hw=hw)
+            crops, _ = extract_roi(imgs, masks, padding=padding, out_hw=hw,
+                                   matmul=mxu_roi)
             return jnp.argmax(_cls(gnet_vars, crops), axis=-1)
 
         self._e2e = jax.jit(_e2e)
