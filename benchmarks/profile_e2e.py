@@ -86,6 +86,9 @@ def main():
     # --- stage decomposition at the base batch ------------------------------
     t_pre = scan_time(lambda g: preprocess_gray(g, out_hw=(SIZE, SIZE)), gray,
                       iters=args.iters)
+    t_pre_mxu = scan_time(
+        lambda g: preprocess_gray(g, out_hw=(SIZE, SIZE), mxu_layout=True),
+        gray, iters=args.iters)
     t_unet = scan_time(lambda v, x: unet.apply(v, x, train=False), rgbh, uv,
                        iters=args.iters)
     t_eng = scan_time(lambda v, x: engine.unet_forward(v, x), rgbh, uv,
@@ -96,6 +99,12 @@ def main():
         return crops
 
     t_roi = scan_time(_roi, (rgbh, masks), 0, iters=args.iters)
+
+    def _roi_mm(v, xs):
+        crops, _ = extract_roi(xs[0], xs[1], out_hw=(SIZE, SIZE), matmul=True)
+        return crops
+
+    t_roi_mm = scan_time(_roi_mm, (rgbh, masks), 0, iters=args.iters)
     t_gnet = scan_time(lambda v, x: gnet.apply(v, x, train=False), rgbh, gv,
                        iters=args.iters)
 
@@ -103,9 +112,11 @@ def main():
     print("| stage | ms | ms/img |")
     print("|---|---|---|")
     for name, t in (("preprocess (wavelet+resize)", t_pre),
+                    ("preprocess (mxu NCHW resize)", t_pre_mxu),
                     ("UNet fwd (flax apply)", t_unet),
                     ("UNet fwd (BN-folded engine)", t_eng),
                     ("ROI bbox+crop", t_roi),
+                    ("ROI bbox+crop (matmul form)", t_roi_mm),
                     ("GoogLeNet fwd", t_gnet)):
         print(f"| {name} | {t*1e3:.2f} | {t*1e3/b0:.3f} |")
 
