@@ -107,6 +107,11 @@ def main():
     t_roi_mm = scan_time(_roi_mm, (rgbh, masks), 0, iters=args.iters)
     t_gnet = scan_time(lambda v, x: gnet.apply(v, x, train=False), rgbh, gv,
                        iters=args.iters)
+    t_gnet_eng = scan_time(lambda v, x: engine.gnet_forward(v, x), rgbh, gv,
+                           iters=args.iters)
+    t_gnet_s2d = scan_time(
+        lambda v, x: engine.gnet_forward(v, x, s2d_stem=True), rgbh, gv,
+        iters=args.iters)
 
     print(f"\n## stage decomposition @ batch {b0} (bf16, ms/batch)\n")
     print("| stage | ms | ms/img |")
@@ -117,7 +122,9 @@ def main():
                     ("UNet fwd (BN-folded engine)", t_eng),
                     ("ROI bbox+crop", t_roi),
                     ("ROI bbox+crop (matmul form)", t_roi_mm),
-                    ("GoogLeNet fwd", t_gnet)):
+                    ("GoogLeNet fwd", t_gnet),
+                    ("GoogLeNet fwd (engine)", t_gnet_eng),
+                    ("GoogLeNet fwd (engine, s2d stem)", t_gnet_s2d)):
         print(f"| {name} | {t*1e3:.2f} | {t*1e3/b0:.3f} |")
 
     # --- full e2e batch sweep ------------------------------------------------

@@ -38,6 +38,17 @@ class TestEngine:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-3, atol=2e-4)
 
+    def test_gnet_s2d_stem_matches_plain(self):
+        """The space-to-depth stem conv (serving TPU default) reads the same
+        taps as the plain 7x7/2 conv; logits must match to float tolerance."""
+        gnet = GoogLeNetClassifier(num_classes=6)
+        x = jax.random.uniform(KEY, (2, 96, 96, 3))
+        variables = gnet.init({"params": KEY, "dropout": KEY}, x, train=False)
+        ref = engine.gnet_forward(variables, x)
+        got = engine.gnet_forward(variables, x, s2d_stem=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-4)
+
     def test_pipeline_engine_grade_parity(self):
         # the serving pipeline defaults to the folded engine; grades must match
         # the flax-apply pipeline on the same inputs

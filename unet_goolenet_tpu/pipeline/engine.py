@@ -158,6 +158,39 @@ def _basic_conv(x, p, s, *, stride=1, padding=0):
                                   stride=stride, padding=padding))
 
 
+def _stem_conv_s2d(x, p, s):
+    """The stem 7x7-stride-2 conv (3->64 @224) as a space-to-depth 4x4
+    stride-1 conv: pad the kernel to 8x8 (zero tail), view the padded input as
+    2x2 pixel blocks -> (112+4, 112+4, 12), so the contraction is one
+    K=4*4*12=192 matmul instead of a 3-channel (lane-padded 3->128) 147-tap
+    conv. Same taps, same sums — parity in tests/test_engine.py.
+    Layout cousin of ops/packed.py (reference op: torchvision googlenet stem).
+    """
+    w, b = ops.fold_batchnorm(
+        p["conv"]["conv"]["kernel"], None, p["bn"]["scale"], p["bn"]["bias"],
+        s["bn"]["mean"], s["bn"]["var"], 1e-3,
+    )
+    w = w.astype(x.dtype)
+    n, h, wd, c = x.shape
+    co = w.shape[-1]
+    # output o reads input rows 2o-3 .. 2o+3; with 3 rows of top pad that is
+    # padded rows 2o .. 2o+6, i.e. blocks o .. o+3 exactly
+    xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
+    hb, wb_ = (h + 8) // 2, (wd + 8) // 2
+    xb = xp.reshape(n, hb, 2, wb_, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xb = xb.reshape(n, hb, wb_, 4 * c)
+    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))          # (8,8,c,co)
+    wb = w8.reshape(4, 2, 4, 2, c, co).transpose(0, 2, 1, 3, 4, 5)
+    wb = wb.reshape(4, 4, 4 * c, co)
+    y = jax.lax.conv_general_dilated(
+        xb, wb.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    oh, ow = h // 2, wd // 2
+    y = y[:, :oh, :ow] + b.astype(jnp.float32)
+    return jax.nn.relu(y).astype(x.dtype)
+
+
 def _inception(x, p, s):
     b1 = _basic_conv(x, p["branch1"], s["branch1"])
     b2 = _basic_conv(x, p["branch2_0"], s["branch2_0"])
@@ -179,15 +212,20 @@ def _transform_input(x):
     return jnp.concatenate([r, g, b], axis=-1)
 
 
-def gnet_forward(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
+def gnet_forward(variables: Dict[str, Any], x: jax.Array,
+                 *, s2d_stem: bool = False) -> jax.Array:
     """Engine forward of GoogLeNetClassifier (inference: aux heads off, dropout
     identity, transform_input on): every BasicConv2d's BatchNorm folded into its
     conv. Numerics match GoogLeNetClassifier.apply(train=False) to float
-    tolerance (tests/test_engine.py)."""
+    tolerance (tests/test_engine.py). s2d_stem runs the 7x7/2 stem conv in the
+    space-to-depth matmul form (_stem_conv_s2d; TPU serving default)."""
     p = variables["params"]["googlenet"]
     s = variables["batch_stats"]["googlenet"]
     x = _transform_input(x)
-    x = _basic_conv(x, p["conv1"], s["conv1"], stride=2, padding=3)
+    if s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        x = _stem_conv_s2d(x, p["conv1"], s["conv1"])
+    else:
+        x = _basic_conv(x, p["conv1"], s["conv1"], stride=2, padding=3)
     x = ops.max_pool2d(x, 3, 2, ceil_mode=True)
     x = _basic_conv(x, p["conv2"], s["conv2"])
     x = _basic_conv(x, p["conv3"], s["conv3"], padding=1)

@@ -114,7 +114,8 @@ class TwoStagePipeline:
                  padding: int = 30, dtype=jnp.float32, use_engine: bool = True,
                  fused_up1: bool = None, fused_up2: bool = None,
                  fused_up34: bool = None, fused_down1: bool = None,
-                 mxu_preprocess: bool = None, mxu_roi: bool = None):
+                 mxu_preprocess: bool = None, mxu_roi: bool = None,
+                 s2d_stem: bool = None):
         self.unet = unet
         self.gnet = gnet
         self.unet_vars = unet_vars
@@ -146,6 +147,10 @@ class TwoStagePipeline:
             # weight-matrix-form ROI crop (ops.bbox.crop_and_resize_matmul)
             mxu_roi = jax.default_backend() not in ("cpu",)
         self.mxu_roi = mxu_roi
+        if s2d_stem is None:
+            # GoogLeNet 7x7/2 stem in space-to-depth matmul form
+            s2d_stem = jax.default_backend() not in ("cpu",)
+        self.s2d_stem = s2d_stem
 
         hw = (img_size, img_size)
 
@@ -172,7 +177,8 @@ class TwoStagePipeline:
 
         def _cls(gnet_vars, crops):
             if use_engine:
-                return _engine.gnet_forward(gnet_vars, crops)
+                return _engine.gnet_forward(gnet_vars, crops,
+                                            s2d_stem=s2d_stem)
             return self.gnet.apply(gnet_vars, crops, train=False)
 
         def _e2e(unet_vars, gnet_vars, gray):
