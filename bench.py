@@ -44,8 +44,9 @@ def measure_ours() -> float:
     gv = gnet.init({"params": key, "dropout": key},
                    jnp.zeros((1, SIZE, SIZE, 3)), train=False)
 
-    # BENCH_FUSED=0 forces the fused Pallas levels off (sweeps/debug); default
-    # lets TwoStagePipeline pick (auto-on for TPU backends).
+    # BENCH_FUSED=0 forces every fused Pallas level off, BENCH_FUSED=1 forces
+    # all of them on (A/B sweeps); default = TwoStagePipeline's production
+    # defaults (measured winners only: fused up1 on TPU).
     fused_env = os.environ.get("BENCH_FUSED")
     fused_kw = {}
     if fused_env is not None:

@@ -22,7 +22,22 @@ step() {
   fi
   echo "=== STEP [$name] start $(date -u) ==="
   "$@"
-  echo "=== STEP [$name] exit=$? end $(date -u) ==="
+  local rc=$?
+  echo "=== STEP [$name] exit=$rc end $(date -u) ==="
+  if [ $rc -ne 0 ]; then
+    # A failed step may mean a benign Python error (e.g. a scoped-vmem
+    # compile limit — safe) OR a wedged worker. The relay stays up through a
+    # wedge, so probe the worker itself with a tiny computation before
+    # launching anything else: a wedge makes this hang (queue stalls safely,
+    # nothing else is launched — NO timeout, a kill would deepen the wedge);
+    # a clean failure lets it pass and the queue continues.
+    echo "=== step [$name] failed; probing worker health $(date -u) ==="
+    if ! python -c "import jax, numpy; print(numpy.asarray(jax.numpy.ones(1) + 1))"; then
+      echo "=== ABORT: worker probe failed after [$name] at $(date -u) ==="
+      exit 1
+    fi
+    echo "=== worker healthy; continuing $(date -u) ==="
+  fi
 }
 
 B=benchmarks/up1_bench.py
@@ -46,7 +61,10 @@ step up4-fused-t14       python $B --mode fused4 --tile 14
 step down1-xla           python $B --mode xlad1
 step down1-fused-t28     python $B --mode fusedd1 --tile 28
 # 4. full fused headline + per-level and e2e profiles (incl. MXU glue A/B).
+#    default bench = production defaults (fused up1 only); BENCH_FUSED=1
+#    force-enables every fused level for the all-on A/B point.
 step bench-fused         python bench.py
+step bench-all-fused     env BENCH_FUSED=1 python bench.py
 step levels-b64          python benchmarks/profile_unet_levels.py --batch 64
 step e2e-b64             python benchmarks/profile_e2e.py --batches 64
 echo "=== QUEUE COMPLETE $(date -u) ==="

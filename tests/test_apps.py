@@ -270,3 +270,18 @@ def test_engine_roi_extractor_matches_flax():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(crops_p), np.asarray(crops_d),
                                atol=1e-4)
+
+
+def test_flag_guards_fail_fast():
+    """Flag combinations that would silently change what runs must error at
+    parse time, before any model/checkpoint work (the train_seg
+    --engine-forward/--data-parallel contract applied everywhere)."""
+    from unet_goolenet_tpu.apps import train_cls, infer_e2e
+
+    with pytest.raises(SystemExit, match="even --img-size"):
+        train_cls.main(["--train-dir", "x", "--val-dir", "x",
+                        "--unet-checkpoint", "x",
+                        "--engine-roi", "on", "--img-size", "33"])
+    with pytest.raises(SystemExit, match="device-preprocess"):
+        infer_e2e.main(["--image-dir", "x", "--unet-checkpoint", "x",
+                        "--gnet-checkpoint", "x", "--size-buckets", "4"])

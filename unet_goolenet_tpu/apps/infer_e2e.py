@@ -171,6 +171,10 @@ def _run_device_preprocess(pipe, image_dir: str, batch_size: int,
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.size_buckets and not args.device_preprocess:
+        # the host-preprocess path resizes per image and never compiles per
+        # shape; accepting the flag there would silently do nothing
+        raise SystemExit("--size-buckets only applies with --device-preprocess")
     key = seed_everything()
     os.makedirs(args.out_dir, exist_ok=True)
 

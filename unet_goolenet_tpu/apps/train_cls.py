@@ -114,6 +114,12 @@ def main(argv=None):
         # the device-epoch runner stages/steps on one device; silently ignoring
         # either flag would misreport what ran
         raise SystemExit("--data-parallel cannot be combined with --device-epoch")
+    if args.engine_roi == "on" and args.img_size % 2 != 0:
+        # the packed engine forward needs an even width; silently falling back
+        # to the flax extractor would misreport what ran (same contract as the
+        # --engine-forward/--data-parallel guard in train_seg.py)
+        raise SystemExit("--engine-roi on requires an even --img-size "
+                         f"(got {args.img_size}); use --engine-roi auto/off")
     key = seed_everything(args.seed)
     logger = MetricLogger(args.log_dir, "train_cls")
 
@@ -154,8 +160,9 @@ def main(argv=None):
         or (args.engine_roi == "auto" and jax.default_backend() not in ("cpu",)))
     extract = make_roi_extractor(
         unet, unet_vars, args.img_size, engine=use_engine,
+        # the fused Pallas up1 tail compiles on TPU only (pltpu primitives)
         fused=use_engine and mesh is None
-        and jax.default_backend() not in ("cpu",))
+        and jax.default_backend() == "tpu")
 
     # device-resident ROI-crop augmentation (the reference does this on host per
     # item, ROI_main.py:117-122; here it joins the jitted batch path)

@@ -79,12 +79,17 @@ def make_pp_pipeline(pipeline, mesh: Mesh) -> Callable:
         else:
             logits = pipeline.unet.apply(unet_vars, imgs, train=False)
         masks = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
-        crops, _ = extract_roi(imgs, masks, padding=pipeline.padding, out_hw=hw)
+        # same ROI-crop form as the single-device graph (mxu_roi picks the
+        # weight-matrix crop) so the documented grade parity holds on TPU too
+        crops, _ = extract_roi(imgs, masks, padding=pipeline.padding, out_hw=hw,
+                               matmul=getattr(pipeline, "mxu_roi", False))
         return crops
 
     def stage1(gnet_vars, crops):
         if pipeline.use_engine:
-            cls_logits = _engine.gnet_forward(gnet_vars, crops)
+            cls_logits = _engine.gnet_forward(
+                gnet_vars, crops,
+                s2d_stem=getattr(pipeline, "s2d_stem", False))
         else:
             cls_logits = pipeline.gnet.apply(gnet_vars, crops, train=False)
         return jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
@@ -147,10 +152,14 @@ def make_pp_pipeline(pipeline, mesh: Mesh) -> Callable:
     pinned = {}  # re-read pipeline.*_vars each run(); re-pin only when swapped
 
     def run(grays):
-        key = (id(pipeline.unet_vars), id(pipeline.gnet_vars))
-        if pinned.get("key") != key:
-            pinned["key"] = key
-            pinned["vars"] = (put(pipeline.unet_vars), put(pipeline.gnet_vars))
+        # cache key = the source trees themselves, compared by identity; the
+        # held references keep the old trees alive, so a swapped-in tree can
+        # never alias a freed one's id (an id()-tuple key could)
+        src = (pipeline.unet_vars, pipeline.gnet_vars)
+        cached = pinned.get("src")
+        if cached is None or cached[0] is not src[0] or cached[1] is not src[1]:
+            pinned["src"] = src
+            pinned["vars"] = (put(src[0]), put(src[1]))
         uv, gv = pinned["vars"]
         return fn(uv, gv, jax.device_put(grays, rep))
 

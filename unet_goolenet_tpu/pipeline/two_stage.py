@@ -125,15 +125,19 @@ class TwoStagePipeline:
         self.dtype = dtype
         self.use_engine = use_engine
         if fused_up1 is None:
-            # the Pallas up1 kernel compiles on TPU backends only; CPU runs
-            # (tests, virtual-mesh dryruns) default to the XLA tail.
-            fused_up1 = jax.default_backend() not in ("cpu",)
+            # the Pallas up1 kernel compiles on TPU only (pltpu primitives);
+            # measured 1.5x over the XLA packed level (RESULTS.md r3) -> on.
+            fused_up1 = jax.default_backend() == "tpu"
         if fused_up2 is None:
-            fused_up2 = jax.default_backend() not in ("cpu",)
+            # the up2/up34/down1 fused kernels are interpret-parity-tested but
+            # NOT yet measured on chip (RESULTS.md round-3 queue; up3/up4 XLA
+            # already runs at 64-78% roofline and may win) -> off until an
+            # on-chip A/B flips them; bench harnesses opt in explicitly.
+            fused_up2 = False
         if fused_up34 is None:
-            fused_up34 = jax.default_backend() not in ("cpu",)
+            fused_up34 = False
         if fused_down1 is None:
-            fused_down1 = jax.default_backend() not in ("cpu",)
+            fused_down1 = False
         self.fused_up1 = fused_up1
         self.fused_up2 = fused_up2
         self.fused_up34 = fused_up34

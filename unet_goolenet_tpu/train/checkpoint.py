@@ -90,6 +90,18 @@ class CheckpointManager:
         # tests/test_train.py::TestCheckpointResharding); uncommitted template
         # leaf (e.g. tx.init's eager scalar count) -> strip any commitment the
         # restore added so jit remains free to place it.
+        #
+        # `_committed` is a private jax.Array attribute; if a JAX upgrade
+        # renames it, getattr would quietly return False everywhere and this
+        # whole fix would no-op. Probe its behavior once and fail loudly
+        # instead (a committed device_put array must report True).
+        probe = jax.device_put(np.zeros(1), jax.devices()[0])
+        if getattr(probe, "_committed", None) is not True:
+            raise RuntimeError(
+                "jax.Array._committed no longer behaves as expected on this "
+                "JAX version; update CheckpointManager.restore's re-pinning "
+                "logic (train/checkpoint.py) before resuming from checkpoints")
+
         def _pin(r, t):
             if isinstance(t, jax.Array) and getattr(t, "_committed", False):
                 return jax.device_put(r, t.sharding)
