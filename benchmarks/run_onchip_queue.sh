@@ -67,4 +67,7 @@ step bench-fused         python bench.py
 step bench-all-fused     env BENCH_FUSED=1 python bench.py
 step levels-b64          python benchmarks/profile_unet_levels.py --batch 64
 step e2e-b64             python benchmarks/profile_e2e.py --batches 64
+# 5. training-path points beyond the published batch-8/16 rows.
+step train-packed-b32    python benchmarks/train_bench.py --packed --bf16 --batch 32
+step train-packed-b64    python benchmarks/train_bench.py --packed --bf16 --batch 64
 echo "=== QUEUE COMPLETE $(date -u) ==="

@@ -338,13 +338,18 @@ def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wgy_ref,
 
 
 def _cbn_stats_kernel(x_ref, wcat_ref, bias_ref, e1_ref, stat_ref,
-                      xbuf, sems, *, th, wp, c2, dtype):
-    """relu(conv3x3_pp(x) + b) + running per-image (sum, max) over (H, W).
+                      xbuf, sems, *, th, wp, cs, dtype, make_cat):
+    """relu(conv3x3(x) + b) + running per-image (sum, max) over (H, W).
 
     stat_ref is revisited across the sequential row-tile grid (the TPU grid
     is sequential, same pattern as the conv backward dw kernel): row 0
-    accumulates the channel sums, row 1 the channel maxes, per lane-half.
+    accumulates the channel sums, row 1 the channel maxes, per lane(-half).
     Input DMA double-buffered across grid steps like _up1_kernel.
+
+    Shared between the packed up1 gate pass and up2's dense gate pass
+    (up2.fused_cbn_stats_dense) — only the conv-operand build differs, so the
+    caller injects it as make_cat(s) -> the (rows, K) cat operand for the
+    single dot against wcat.
     """
     ni = pl.program_id(0)
     i = pl.program_id(1)
@@ -364,15 +369,12 @@ def _cbn_stats_kernel(x_ref, wcat_ref, bias_ref, e1_ref, stat_ref,
         _halo_start(x_ref, xbuf.at[1 - slot], sems.at[1 - slot],
                     nt // n_t, jax.lax.rem(nt, n_t), n_t, th, 1)
 
-    sel_a, sel_b = _sel_masks(wp, c2)
     _halo_wait(x_ref, xbuf.at[slot], sems.at[slot], ni, i, n_t, th, 1)
 
-    s = xbuf[slot]
-    u = _build_u(s, sel_a, sel_b, s.dtype)
-    cat = _cat6(s, u, th, 0, wp, c2)
+    cat = make_cat(xbuf[slot])
     acc = jnp.dot(cat, wcat_ref[:], preferred_element_type=jnp.float32)
     y = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
-    e1_ref[0] = y.reshape(th, wp, c2).astype(dtype)
+    e1_ref[0] = y.reshape(th, wp, cs).astype(dtype)
 
     tile_sum = jnp.sum(y, axis=0, keepdims=True)
     tile_max = jnp.max(y, axis=0, keepdims=True)
@@ -386,6 +388,45 @@ def _cbn_stats_kernel(x_ref, wcat_ref, bias_ref, e1_ref, stat_ref,
     def _():
         stat_ref[0, 0:1] = stat_ref[0, 0:1] + tile_sum
         stat_ref[0, 1:2] = jnp.maximum(stat_ref[0, 1:2], tile_max)
+
+
+def _launch_cbn_stats(x, wcat, bias, th, make_cat):
+    """pallas_call plumbing shared by the packed (up1) and dense (up2) gate
+    passes: (N, H, Wp, Cs) input -> (e1 same shape, (N, 2, Cs) f32 sum/max)."""
+    n, h, wp, cs = x.shape
+    dtype = x.dtype
+    kernel = functools.partial(_cbn_stats_kernel, th=th, wp=wp, cs=cs,
+                               dtype=dtype, make_cat=make_cat)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(wcat.shape, lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cs), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, th, wp, cs), lambda ni, i: (ni, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, cs), lambda ni, i: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, wp, cs), dtype),
+            jax.ShapeDtypeStruct((n, 2, cs), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wp, cs), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(x, wcat, bias)
 
 
 def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
@@ -413,38 +454,12 @@ def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
     wcat = make_cat_weights(w, dtype)
     bias = jnp.tile(b.astype(jnp.float32), 2)[None]       # (1, 2C)
 
-    kernel = functools.partial(_cbn_stats_kernel, th=th, wp=wp, c2=c2,
-                               dtype=dtype)
-    e1, stats = pl.pallas_call(
-        kernel,
-        grid=(n, h // th),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((6 * c2, c2), lambda ni, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c2), lambda ni, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, th, wp, c2), lambda ni, i: (ni, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c2), lambda ni, i: (ni, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, h, wp, c2), dtype),
-            jax.ShapeDtypeStruct((n, 2, c2), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, th + 2, wp, c2), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=_INTERPRET,
-    )(x_p, wcat, bias)
+    def make_cat(s):
+        sel_a, sel_b = _sel_masks(wp, c2)
+        u = _build_u(s, sel_a, sel_b, s.dtype)
+        return _cat6(s, u, th, 0, wp, c2)
+
+    e1, stats = _launch_cbn_stats(x_p, wcat, bias, th, make_cat)
 
     mean = ((stats[:, 0, :c] + stats[:, 0, c:]) / (h * 2 * wp))
     mx = jnp.maximum(stats[:, 1, :c], stats[:, 1, c:])

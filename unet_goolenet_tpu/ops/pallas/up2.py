@@ -90,50 +90,6 @@ def _cat9(s, l, r, n_out, src_off, wp, c):
 # ------------------------------------------------------------ gate pass
 
 
-def _cbn_stats_dense_kernel(x_ref, wcat_ref, bias_ref, e1_ref, stat_ref,
-                            xbuf, sems, *, th, wp, c, dtype):
-    ni = pl.program_id(0)
-    i = pl.program_id(1)
-    n_im = pl.num_programs(0)
-    n_t = pl.num_programs(1)
-    t = ni * n_t + i
-    slot = jax.lax.rem(t, 2)
-
-    @pl.when(t == 0)
-    def _():
-        _halo_start(x_ref, xbuf.at[slot], sems.at[slot], ni, i, n_t, th, 1)
-
-    nt = t + 1
-
-    @pl.when(nt < n_im * n_t)
-    def _():
-        _halo_start(x_ref, xbuf.at[1 - slot], sems.at[1 - slot],
-                    nt // n_t, jax.lax.rem(nt, n_t), n_t, th, 1)
-
-    _halo_wait(x_ref, xbuf.at[slot], sems.at[slot], ni, i, n_t, th, 1)
-
-    s = xbuf[slot]
-    sf = s.astype(jnp.float32)
-    l, r = _lr(sf, wp, s.dtype)
-    cat = _cat9(s, l, r, th, 0, wp, c)
-    acc = jnp.dot(cat, wcat_ref[:], preferred_element_type=jnp.float32)
-    y = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
-    e1_ref[0] = y.reshape(th, wp, c).astype(dtype)
-
-    tile_sum = jnp.sum(y, axis=0, keepdims=True)
-    tile_max = jnp.max(y, axis=0, keepdims=True)
-
-    @pl.when(i == 0)
-    def _():
-        stat_ref[0, 0:1] = tile_sum
-        stat_ref[0, 1:2] = tile_max
-
-    @pl.when(i > 0)
-    def _():
-        stat_ref[0, 0:1] = stat_ref[0, 0:1] + tile_sum
-        stat_ref[0, 1:2] = jnp.maximum(stat_ref[0, 1:2], tile_max)
-
-
 def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
                           *, tile_rows: Optional[int] = None):
     """Dense ConvBatchNorm (folded w, b; relu) + global per-channel mean/max
@@ -155,38 +111,13 @@ def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
     wcat = make_cat9_weights(w, dtype)
     bias = b.astype(jnp.float32)[None]            # (1, C)
 
-    kernel = functools.partial(_cbn_stats_dense_kernel, th=th, wp=wp, c=c,
-                               dtype=dtype)
-    e1, stats = pl.pallas_call(
-        kernel,
-        grid=(n, h // th),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9 * c, c), lambda ni, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda ni, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, th, wp, c), lambda ni, i: (ni, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c), lambda ni, i: (ni, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, h, wp, c), dtype),
-            jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, th + 2, wp, c), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=_up1._INTERPRET,
-    )(x, wcat, bias)
+    # shares up1's gate-pass kernel + pallas_call plumbing; only the conv
+    # operand build (dense cat9 vs packed cat6) differs
+    def make_cat(s):
+        l, r = _lr(s.astype(jnp.float32), wp, s.dtype)
+        return _cat9(s, l, r, th, 0, wp, c)
+
+    e1, stats = _up1._launch_cbn_stats(x, wcat, bias, th, make_cat)
 
     mean = stats[:, 0] / (h * wp)
     return e1, mean[:, None, None, :], stats[:, 1][:, None, None, :]
