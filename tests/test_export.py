@@ -1,0 +1,64 @@
+"""Deployment-export roundtrips (pipeline/export.py): the serving graph
+serialized to StableHLO + weights must reproduce the live pipeline's grades
+from a fresh load, at batch sizes never seen at export (batch-polymorphic)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_goolenet_tpu.models import GoogLeNetClassifier, UNetTaskAligWeight
+from unet_goolenet_tpu.pipeline import TwoStagePipeline
+from unet_goolenet_tpu.pipeline.export import (
+    export_serving,
+    load_serving,
+)
+
+S = 32
+RAW = (40, 48)
+RNG = np.random.default_rng(3)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    key = jax.random.PRNGKey(0)
+    unet = UNetTaskAligWeight(n_classes=1)
+    gnet = GoogLeNetClassifier(num_classes=6)
+    uv = unet.init({"params": key}, jnp.zeros((1, S, S, 3)), train=False)
+    gv = gnet.init({"params": key, "dropout": key},
+                   jnp.zeros((1, S, S, 3)), train=False)
+    return TwoStagePipeline(unet, uv, gnet, gv, img_size=S)
+
+
+def test_gray_roundtrip_batch_polymorphic(pipe, tmp_path):
+    meta = export_serving(pipe, str(tmp_path), raw_hw=RAW)
+    assert meta["source"] == "gray" and meta["raw_hw"] == list(RAW)
+
+    runner = load_serving(str(tmp_path))
+    assert runner.meta["img_size"] == S
+    for n in (2, 5):  # sizes never seen at export
+        gray = RNG.uniform(0, 255, (n, *RAW)).astype(np.float32)
+        want = pipe.infer_grades(jnp.asarray(gray))
+        got = runner(gray)
+        assert got.shape == (n,)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rgb_roundtrip(pipe, tmp_path):
+    export_serving(pipe, str(tmp_path), source="rgb")
+    runner = load_serving(str(tmp_path))
+    imgs = RNG.uniform(0, 1, (3, S, S, 3)).astype(np.float32)
+    want = pipe.infer_from_rgb(jnp.asarray(imgs))["grades"]
+    np.testing.assert_array_equal(np.asarray(runner(imgs)), np.asarray(want))
+
+
+def test_export_refuses_fused_pipeline(pipe, tmp_path):
+    fused_pipe = TwoStagePipeline(pipe.unet, pipe.unet_vars, pipe.gnet,
+                                  pipe.gnet_vars, img_size=S, fused_up1=True)
+    with pytest.raises(ValueError, match="fused_up1"):
+        export_serving(fused_pipe, str(tmp_path), raw_hw=RAW)
+
+
+def test_gray_requires_raw_hw(pipe, tmp_path):
+    with pytest.raises(ValueError, match="raw_hw"):
+        export_serving(pipe, str(tmp_path))

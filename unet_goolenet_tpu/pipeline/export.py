@@ -1,0 +1,132 @@
+"""Deployment export/load of the fused serving graph (jax.export, StableHLO).
+
+The reference has no deployment story: serving IS the training repo —
+分类/test.py:139-152 loads both torch models at import time and re-runs eager
+Python per batch. Here the whole fused two-stage graph (wavelet preprocess ->
+UNet -> bbox -> crop -> GoogLeNet -> argmax) is serialized ONCE as
+batch-polymorphic StableHLO plus a weights blob, producing a self-contained
+directory artifact a serving host loads and runs without the model code and
+without re-tracing Python:
+
+    export_serving(pipe, "artifact/", raw_hw=(400, 500))   # build box
+    runner = load_serving("artifact/")                     # serving box
+    grades = runner(gray_batch)     # (N, H, W) any N -> (N,) int grades
+
+Artifact layout:
+    serving.stablehlo   jax.export blob; args = (unet_vars, gnet_vars, input)
+    vars.msgpack        flax.serialization msgpack of both variable trees
+    meta.json           source / raw_hw / img_size / dtype / versions
+
+Portability: StableHLO custom calls emitted by Pallas kernels are not stable
+across compiler versions, so exports require the pure-XLA graph (every
+fused_* kernel off) unless keep_fused=True is passed explicitly. The
+artifact runs on the platform(s) it was lowered for (meta.json records them;
+jax.export refuses a mismatched platform at call time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BLOB = "serving.stablehlo"
+_VARS = "vars.msgpack"
+_META = "meta.json"
+
+
+def _specs_like(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), tree)
+
+
+def export_serving(pipe, out_dir: str, *, source: str = "gray",
+                   raw_hw: Tuple[int, int] | None = None,
+                   keep_fused: bool = False) -> dict:
+    """Serialize `pipe`'s grades graph into `out_dir`. Returns the meta dict.
+
+    source="gray": input is raw (N, H, W) grayscale in [0, 255]; raw_hw fixes
+    (H, W) at export (the spatial preprocess is shape-specialised, exactly as
+    in the --device-preprocess serving path); N stays symbolic.
+    source="rgb": input is host-preprocessed (N, S, S, 3) in [0, 1].
+    """
+    from jax import export as jexport
+
+    import flax.serialization
+
+    fused = [k for k in ("fused_up1", "fused_up2", "fused_up34", "fused_down1")
+             if getattr(pipe, k, False)]
+    if fused and not keep_fused:
+        raise ValueError(
+            f"pipeline has Pallas levels enabled ({', '.join(fused)}); their "
+            "custom calls are not portable across compiler versions. Build "
+            "the pipeline with fused_*=False for export, or pass "
+            "keep_fused=True to export anyway (same-version TPU only)")
+
+    b, = jexport.symbolic_shape("b")
+    if source == "gray":
+        if raw_hw is None:
+            raise ValueError("source='gray' needs raw_hw=(H, W)")
+        in_spec = jax.ShapeDtypeStruct((b, *raw_hw), jnp.float32)
+        fn = pipe._grades
+    elif source == "rgb":
+        raw_hw = (pipe.img_size, pipe.img_size)
+        in_spec = jax.ShapeDtypeStruct((b, *raw_hw, 3), jnp.float32)
+        e2e = pipe._e2e_from_rgb.__wrapped__
+        fn = jax.jit(lambda uv, gv, imgs: e2e(uv, gv, imgs)["grades"])
+    else:
+        raise ValueError(f"unknown source {source!r} (use 'gray' or 'rgb')")
+
+    exp = jexport.export(fn)(_specs_like(pipe.unet_vars),
+                             _specs_like(pipe.gnet_vars), in_spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _BLOB), "wb") as f:
+        f.write(exp.serialize())
+    with open(os.path.join(out_dir, _VARS), "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(
+            {"unet": jax.device_get(pipe.unet_vars),
+             "gnet": jax.device_get(pipe.gnet_vars)}))
+    meta = {
+        "source": source,
+        "raw_hw": list(raw_hw),
+        "img_size": pipe.img_size,
+        "dtype": jnp.dtype(pipe.dtype).name,
+        "platforms": list(exp.platforms),
+        "jax_version": jax.__version__,
+        "fused_levels": fused,
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+class ServingArtifact:
+    """Loaded serving artifact: `artifact(batch)` -> (N,) int grades."""
+
+    def __init__(self, exported, variables, meta: dict):
+        self._exported = exported
+        self._vars = variables
+        self.meta = meta
+
+    def __call__(self, batch) -> jax.Array:
+        return self._exported.call(self._vars["unet"], self._vars["gnet"],
+                                   jnp.asarray(batch, jnp.float32))
+
+
+def load_serving(out_dir: str) -> ServingArtifact:
+    """Load an export_serving artifact. Needs only jax + flax, no model code."""
+    from jax import export as jexport
+
+    import flax.serialization
+
+    with open(os.path.join(out_dir, _BLOB), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    with open(os.path.join(out_dir, _VARS), "rb") as f:
+        variables = flax.serialization.msgpack_restore(f.read())
+    with open(os.path.join(out_dir, _META)) as f:
+        meta = json.load(f)
+    return ServingArtifact(exported, variables, meta)
