@@ -33,6 +33,9 @@ def pipe():
 def test_gray_roundtrip_batch_polymorphic(pipe, tmp_path):
     meta = export_serving(pipe, str(tmp_path), raw_hw=RAW)
     assert meta["source"] == "gray" and meta["raw_hw"] == list(RAW)
+    # cross-platform lowering: the default artifact is built for BOTH cpu and
+    # tpu, so a CPU build box produces the artifact the TPU serving box loads
+    assert sorted(meta["platforms"]) == ["cpu", "tpu"]
 
     runner = load_serving(str(tmp_path))
     assert runner.meta["img_size"] == S
@@ -62,3 +65,13 @@ def test_export_refuses_fused_pipeline(pipe, tmp_path):
 def test_gray_requires_raw_hw(pipe, tmp_path):
     with pytest.raises(ValueError, match="raw_hw"):
         export_serving(pipe, str(tmp_path))
+
+
+def test_single_platform_export(pipe, tmp_path):
+    meta = export_serving(pipe, str(tmp_path), source="rgb",
+                          platforms=("cpu",))
+    assert meta["platforms"] == ["cpu"]
+    runner = load_serving(str(tmp_path))
+    imgs = RNG.uniform(0, 1, (2, S, S, 3)).astype(np.float32)
+    want = pipe.infer_from_rgb(jnp.asarray(imgs))["grades"]
+    np.testing.assert_array_equal(np.asarray(runner(imgs)), np.asarray(want))

@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and assert grade parity vs the "
                         "live pipeline on a random batch")
+    p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"],
+                   choices=["cpu", "tpu", "cuda"],
+                   help="lowering targets baked into the artifact (default: "
+                        "cpu tpu — a CPU build box emits the TPU artifact)")
     return p.parse_args(argv)
 
 
@@ -74,7 +78,8 @@ def main(argv=None):
         fused_up1=False, fused_up2=False, fused_up34=False, fused_down1=False)
 
     meta = export_serving(pipe, args.out_dir, source=args.source,
-                          raw_hw=tuple(args.raw_hw) if args.raw_hw else None)
+                          raw_hw=tuple(args.raw_hw) if args.raw_hw else None,
+                          platforms=tuple(args.platforms))
     print(f"exported {meta['source']} serving graph "
           f"(raw_hw={meta['raw_hw']}, img_size={meta['img_size']}, "
           f"dtype={meta['dtype']}, platforms={meta['platforms']}) "

@@ -45,13 +45,16 @@ def _specs_like(tree):
 
 def export_serving(pipe, out_dir: str, *, source: str = "gray",
                    raw_hw: Tuple[int, int] | None = None,
-                   keep_fused: bool = False) -> dict:
+                   keep_fused: bool = False,
+                   platforms: Tuple[str, ...] = ("cpu", "tpu")) -> dict:
     """Serialize `pipe`'s grades graph into `out_dir`. Returns the meta dict.
 
     source="gray": input is raw (N, H, W) grayscale in [0, 255]; raw_hw fixes
     (H, W) at export (the spatial preprocess is shape-specialised, exactly as
     in the --device-preprocess serving path); N stays symbolic.
     source="rgb": input is host-preprocessed (N, S, S, 3) in [0, 1].
+    platforms: lowering targets baked into the artifact (cross-platform
+    lowering — a CPU build box can produce the TPU serving artifact).
     """
     from jax import export as jexport
 
@@ -80,8 +83,11 @@ def export_serving(pipe, out_dir: str, *, source: str = "gray",
     else:
         raise ValueError(f"unknown source {source!r} (use 'gray' or 'rgb')")
 
-    exp = jexport.export(fn)(_specs_like(pipe.unet_vars),
-                             _specs_like(pipe.gnet_vars), in_spec)
+    if keep_fused and fused:
+        # Pallas custom calls lower for the current backend only
+        platforms = (jax.default_backend(),)
+    exp = jexport.export(fn, platforms=platforms)(
+        _specs_like(pipe.unet_vars), _specs_like(pipe.gnet_vars), in_spec)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _BLOB), "wb") as f:
