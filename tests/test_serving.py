@@ -1,0 +1,148 @@
+"""Serving host (pipeline/serving.py): micro-batching semantics and the HTTP
+front, driven against a real exported artifact."""
+
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_goolenet_tpu.models import GoogLeNetClassifier, UNetTaskAligWeight
+from unet_goolenet_tpu.pipeline import TwoStagePipeline
+from unet_goolenet_tpu.pipeline.export import export_serving, load_serving
+from unet_goolenet_tpu.pipeline.serving import GradingServer, MicroBatcher
+
+S = 32
+RAW = (40, 48)
+RNG = np.random.default_rng(7)
+
+
+# ---------------------------------------------------------------- batcher --
+
+def test_batcher_coalesces_and_routes():
+    calls = []
+
+    def grade_fn(batch):
+        calls.append(batch.shape[0])
+        return batch[:, 0, 0].astype(np.int64)   # identity-ish: grade = pixel
+
+    mb = MicroBatcher(grade_fn, max_batch=8, max_wait_ms=200.0)
+    try:
+        imgs = [np.full((4, 4), i, np.float32) for i in range(5)]
+        out = mb.grade_many(imgs)
+        assert out == [0, 1, 2, 3, 4]            # each grade routed correctly
+        assert mb.device_calls <= 2              # coalesced, not 5 calls
+        assert all(c in (1, 2, 4, 8) for c in calls)   # pow2-padded batches
+    finally:
+        mb.close()
+
+
+def test_batcher_pads_to_pow2_and_caps():
+    sizes = []
+
+    def grade_fn(batch):
+        sizes.append(batch.shape[0])
+        return np.zeros(batch.shape[0], np.int64)
+
+    mb = MicroBatcher(grade_fn, max_batch=4, max_wait_ms=100.0)
+    try:
+        mb.grade_many([np.zeros((2, 2), np.float32)] * 7)
+        assert sum(mb.batch_sizes) == 7
+        assert all(s in (1, 2, 4) for s in sizes)      # never above max_batch
+        assert max(sizes) == 4                         # cap reached
+    finally:
+        mb.close()
+
+
+def test_batcher_concurrent_threads_one_batch():
+    calls = []
+    barrier = threading.Barrier(4)
+
+    def grade_fn(batch):
+        calls.append(batch.shape[0])
+        return np.arange(batch.shape[0])
+
+    mb = MicroBatcher(grade_fn, max_batch=8, max_wait_ms=300.0)
+    results = []
+
+    def worker(i):
+        barrier.wait()
+        results.append(mb.grade(np.full((2, 2), i, np.float32)))
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 4
+        assert mb.device_calls <= 2   # 4 threads coalesced (usually 1 call)
+    finally:
+        mb.close()
+
+
+# ------------------------------------------------------------------- http --
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory):
+    key = jax.random.PRNGKey(0)
+    unet = UNetTaskAligWeight(n_classes=1)
+    gnet = GoogLeNetClassifier(num_classes=6)
+    uv = unet.init({"params": key}, jnp.zeros((1, S, S, 3)), train=False)
+    gv = gnet.init({"params": key, "dropout": key},
+                   jnp.zeros((1, S, S, 3)), train=False)
+    pipe = TwoStagePipeline(unet, uv, gnet, gv, img_size=S)
+    out = tmp_path_factory.mktemp("artifact")
+    export_serving(pipe, str(out), raw_hw=RAW)
+    return pipe, str(out)
+
+
+@pytest.fixture(scope="module")
+def server(artifact_dir):
+    _, out = artifact_dir
+    srv = GradingServer(load_serving(out), max_batch=8, max_wait_ms=5.0)
+    port = srv.start()
+    yield srv, port
+    srv.close()
+
+
+def _post_npy(port, arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/grade", data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_http_grade_parity(server, artifact_dir):
+    pipe, _ = artifact_dir
+    _, port = server
+    gray = RNG.uniform(0, 255, (3, *RAW)).astype(np.float32)
+    want = np.asarray(pipe.infer_grades(jnp.asarray(gray)))
+    got = _post_npy(port, gray)["grades"]
+    assert got == want.tolist()
+    # single (H, W) image works too
+    got1 = _post_npy(port, gray[0])["grades"]
+    assert got1 == [int(want[0])]
+
+
+def test_http_healthz_and_errors(server):
+    srv, port = server
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["meta"]["raw_hw"] == list(RAW)
+    assert h["device_calls"] == srv.batcher.device_calls
+
+    bad = RNG.uniform(0, 255, (2, 10, 10)).astype(np.float32)  # wrong raw_hw
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_npy(port, bad)
+    assert e.value.code == 400
+    assert "raw_hw" in json.loads(e.value.read())["error"]

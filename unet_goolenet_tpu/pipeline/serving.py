@@ -1,0 +1,240 @@
+"""Production serving host: micro-batching HTTP server over a deployment
+artifact (pipeline/export.py).
+
+The reference has no serving host at all — its "deployment" is re-running the
+training repo per request (分类/test.py:139-152, eager Python, batch fixed by
+the script). This module is the missing piece between an exported artifact and
+production traffic:
+
+    server = GradingServer(load_serving("artifact/"), max_batch=64)
+    server.serve(port=8000)        # blocking; or .start() for a thread
+
+    POST /v1/grade   body = .npy bytes, (H, W) or (N, H, W) float/uint8
+                     -> {"grades": [g0, ...]}
+    GET  /healthz    -> {"ok": true, "meta": {...}, "device_calls": N}
+
+TPU-shaped decisions:
+  * Micro-batching: concurrent requests are coalesced by a single dispatcher
+    thread into ONE device call (queue drained up to max_batch, or whatever
+    arrived within max_wait_ms of the first item). The chip sees large batches
+    (MXU utilisation scales with batch — benchmarks/RESULTS.md batch sweep),
+    requests see bounded latency.
+  * Bounded compiles: every device call is padded UP to the next power of two
+    (<= max_batch), so an artifact with a symbolic batch dimension compiles at
+    most log2(max_batch)+1 programs, no matter what request sizes arrive.
+    Padding rows replicate a real image; their grades are dropped.
+  * One TPU process / one dispatcher: all device calls happen on the single
+    dispatcher thread, serialising access to the chip (HTTP threads only
+    enqueue + wait), so serving obeys the same one-process discipline as the
+    rest of the framework.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Sequence
+
+import numpy as np
+
+__all__ = ["MicroBatcher", "GradingServer"]
+
+
+def _pow2_bucket(n: int, cap: int) -> int:
+    b = 1
+    while b < n and b < cap:
+        b *= 2
+    return min(b, cap)
+
+
+class _Pending:
+    """One enqueued image awaiting its grade."""
+
+    __slots__ = ("image", "event", "grade", "error")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.grade = None
+        self.error: Exception | None = None
+
+
+class MicroBatcher:
+    """Coalesce single-image requests into padded device batches.
+
+    grade_fn: (N, H, W) float32 -> (N,) int grades, for any N <= max_batch
+    (the exported artifact's batch-polymorphic call, or a live pipeline's
+    infer_grades). Runs on ONE dispatcher thread.
+    """
+
+    def __init__(self, grade_fn: Callable[[np.ndarray], Sequence[int]], *,
+                 max_batch: int = 64, max_wait_ms: float = 5.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._grade_fn = grade_fn
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._queue: queue.Queue[_Pending | None] = queue.Queue()
+        self.device_calls = 0          # batches dispatched (for /healthz + tests)
+        self.batch_sizes: list[int] = []   # real (unpadded) sizes per call
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="microbatcher")
+        self._thread.start()
+
+    def grade(self, image: np.ndarray, timeout: float | None = 60.0) -> int:
+        """Block until `image` (H, W) is graded; returns the int grade."""
+        return self.grade_many([image], timeout=timeout)[0]
+
+    def grade_many(self, images: Sequence[np.ndarray],
+                   timeout: float | None = 60.0) -> list[int]:
+        """Enqueue ALL images, then wait — one request's images coalesce into
+        the same device batch instead of serialising through `grade`."""
+        pending = [_Pending(np.asarray(im, np.float32)) for im in images]
+        for p in pending:
+            self._queue.put(p)
+        out = []
+        for p in pending:
+            if not p.event.wait(timeout):
+                raise TimeoutError("grade request timed out")
+            if p.error is not None:
+                raise p.error
+            out.append(p.grade)
+        return out
+
+    def close(self) -> None:
+        self._queue.put(None)
+        self._thread.join(timeout=10)
+
+    # -- dispatcher ---------------------------------------------------------
+
+    def _drain(self, first: _Pending) -> tuple[list[_Pending], bool]:
+        """Gather up to max_batch items arriving within max_wait_s of `first`.
+        Returns (items, closing)."""
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:       # close() sentinel: grade in-flight, then stop
+                return batch, True
+            batch.append(item)
+        return batch, False
+
+    def _loop(self) -> None:
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return
+            items, closing = self._drain(first)
+            try:
+                real = np.stack([p.image for p in items])
+                n = real.shape[0]
+                padded_n = _pow2_bucket(n, self.max_batch)
+                if padded_n > n:   # replicate a real image; grades dropped
+                    pad = np.broadcast_to(real[:1],
+                                          (padded_n - n, *real.shape[1:]))
+                    real = np.concatenate([real, pad])
+                grades = np.asarray(self._grade_fn(real))
+                self.device_calls += 1
+                self.batch_sizes.append(n)
+                for p, g in zip(items, grades[:n]):
+                    p.grade = int(g)
+                    p.event.set()
+            except Exception as e:                    # pragma: no cover - rare
+                for p in items:
+                    p.error = e
+                    p.event.set()
+            if closing:
+                return
+
+
+class GradingServer:
+    """HTTP front over a MicroBatcher. Accepts a loaded ServingArtifact
+    (pipeline/export.load_serving) or any (N, H, W) -> (N,) grade callable."""
+
+    def __init__(self, artifact, *, max_batch: int = 64,
+                 max_wait_ms: float = 5.0):
+        self.meta = dict(getattr(artifact, "meta", {}))
+        raw_hw = self.meta.get("raw_hw")
+        self._expect_hw = tuple(raw_hw) if raw_hw else None
+        self.batcher = MicroBatcher(artifact, max_batch=max_batch,
+                                    max_wait_ms=max_wait_ms)
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # -- request handling ---------------------------------------------------
+
+    def _grade_npy(self, body: bytes) -> list[int]:
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        if arr.ndim == 2:
+            arr = arr[None]
+        if arr.ndim != 3:
+            raise ValueError(f"expected (H, W) or (N, H, W), got {arr.shape}")
+        if self._expect_hw and tuple(arr.shape[1:]) != self._expect_hw:
+            raise ValueError(
+                f"artifact was exported for raw_hw={self._expect_hw}, "
+                f"got {tuple(arr.shape[1:])}")
+        return self.batcher.grade_many(list(arr.astype(np.float32)))
+
+    def _handler(server_self):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):   # quiet; the caller owns logging
+                pass
+
+            def _send(self, code: int, obj: dict) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"ok": True, "meta": server_self.meta,
+                                     "device_calls":
+                                         server_self.batcher.device_calls})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/v1/grade":
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    grades = server_self._grade_npy(self.rfile.read(n))
+                    self._send(200, {"grades": grades})
+                except ValueError as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:    # pragma: no cover - device failure
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+        return Handler
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self, port: int = 0, host: str = "127.0.0.1") -> int:
+        """Serve on a background thread; returns the bound port."""
+        self._httpd = ThreadingHTTPServer((host, port), self._handler())
+        threading.Thread(target=self._httpd.serve_forever, daemon=True,
+                         name="grading-http").start()
+        return self._httpd.server_address[1]
+
+    def serve(self, port: int = 8000, host: str = "0.0.0.0") -> None:
+        """Blocking serve (the CLI entry)."""
+        self._httpd = ThreadingHTTPServer((host, port), self._handler())
+        self._httpd.serve_forever()
+
+    def close(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        self.batcher.close()
