@@ -140,6 +140,9 @@ def test_http_healthz_and_errors(server):
         h = json.loads(r.read())
     assert h["ok"] and h["meta"]["raw_hw"] == list(RAW)
     assert h["device_calls"] == srv.batcher.device_calls
+    assert h["images"] == sum(srv.batcher.batch_sizes)
+    assert h["call_ms_p50"] is not None and h["call_ms_p50"] > 0
+    assert sum(h["batch_size_histogram"].values()) == h["device_calls"]
 
     bad = RNG.uniform(0, 255, (2, 10, 10)).astype(np.float32)  # wrong raw_hw
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -81,6 +81,7 @@ class MicroBatcher:
         self._queue: queue.Queue[_Pending | None] = queue.Queue()
         self.device_calls = 0          # batches dispatched (for /healthz + tests)
         self.batch_sizes: list[int] = []   # real (unpadded) sizes per call
+        self.call_ms: list[float] = []     # device-call wall times
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="microbatcher")
         self._thread.start()
@@ -108,6 +109,25 @@ class MicroBatcher:
     def close(self) -> None:
         self._queue.put(None)
         self._thread.join(timeout=10)
+
+    def stats(self) -> dict:
+        """Serving metrics snapshot (device-call latency incl. the first
+        compile-heavy calls; image counts per padded-batch size)."""
+        ms = sorted(self.call_ms)
+
+        def pct(p):
+            return round(ms[min(len(ms) - 1, int(p * len(ms)))], 2) if ms else None
+
+        return {
+            "device_calls": self.device_calls,
+            "images": int(sum(self.batch_sizes)),
+            "call_ms_p50": pct(0.50),
+            "call_ms_p99": pct(0.99),
+            "call_ms_max": round(ms[-1], 2) if ms else None,
+            "batch_size_histogram": {
+                str(s): self.batch_sizes.count(s)
+                for s in sorted(set(self.batch_sizes))},
+        }
 
     # -- dispatcher ---------------------------------------------------------
 
@@ -143,7 +163,9 @@ class MicroBatcher:
                     pad = np.broadcast_to(real[:1],
                                           (padded_n - n, *real.shape[1:]))
                     real = np.concatenate([real, pad])
+                t0 = time.monotonic()
                 grades = np.asarray(self._grade_fn(real))
+                self.call_ms.append((time.monotonic() - t0) * 1e3)
                 self.device_calls += 1
                 self.batch_sizes.append(n)
                 for p, g in zip(items, grades[:n]):
@@ -201,7 +223,8 @@ class GradingServer:
                 if self.path == "/healthz":
                     self._send(200, {"ok": True, "meta": server_self.meta,
                                      "device_calls":
-                                         server_self.batcher.device_calls})
+                                         server_self.batcher.device_calls,
+                                     **server_self.batcher.stats()})
                 else:
                     self._send(404, {"error": "not found"})
 
