@@ -149,3 +149,45 @@ def test_http_healthz_and_errors(server):
         _post_npy(port, bad)
     assert e.value.code == 400
     assert "raw_hw" in json.loads(e.value.read())["error"]
+
+
+# -------------------------------------------------------- dp-live serving --
+
+def test_live_dp_serving_parity(artifact_dir):
+    """apps/serve.py --live --data-parallel path: the dp-sharded grade_fn
+    behind the batcher (pad_multiple = mesh size) matches single-device."""
+    from unet_goolenet_tpu.parallel import make_mesh, make_sharded_pipeline
+
+    pipe, _ = artifact_dir
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    assert n_dev == 8   # conftest's virtual mesh
+    grade_fn = make_sharded_pipeline(pipe, mesh, source="grades")
+
+    srv = GradingServer(grade_fn, max_batch=16, max_wait_ms=5.0,
+                        pad_multiple=n_dev,
+                        meta={"mode": "live", "raw_hw": list(RAW)})
+    port = srv.start()
+    try:
+        gray = RNG.uniform(0, 255, (3, *RAW)).astype(np.float32)
+        want = np.asarray(pipe.infer_grades(jnp.asarray(gray)))
+        got = _post_npy(port, gray)["grades"]
+        assert got == want.tolist()
+        # every device batch was padded to a multiple of the mesh size
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                    timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["meta"]["mode"] == "live"
+    finally:
+        srv.close()
+
+
+def test_pad_multiple_validation_and_bucketing():
+    from unet_goolenet_tpu.pipeline.serving import _pow2_bucket
+
+    with pytest.raises(ValueError, match="pad_multiple"):
+        MicroBatcher(lambda b: [0] * len(b), max_batch=10, pad_multiple=4)
+    assert _pow2_bucket(3, 16, 8) == 8      # rounded up to the mesh size
+    assert _pow2_bucket(9, 16, 8) == 16
+    assert _pow2_bucket(1, 16, 1) == 1
+    assert _pow2_bucket(5, 8, 1) == 8

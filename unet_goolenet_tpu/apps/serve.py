@@ -1,31 +1,58 @@
-"""Serve a deployment artifact over HTTP with TPU micro-batching.
+"""Serve the two-stage grader over HTTP with TPU micro-batching.
 
 The reference's serving story is 分类/test.py — a script re-run per dataset,
-models reloaded each time, no server. This CLI turns an export_serving
-artifact (apps/export_serving.py) into a production grading endpoint:
+models reloaded each time, no server. This CLI is the production grading
+endpoint, in two modes:
 
-    python -m unet_goolenet_tpu.apps.serve --artifact artifact/ --port 8000
+  artifact (default): serve an export_serving directory (StableHLO + weights,
+  apps/export_serving.py) — no model code re-traced on the host:
+
+      python -m unet_goolenet_tpu.apps.serve --artifact artifact/ --port 8000
+
+  live (--live): build the fused pipeline from checkpoints and serve it
+  directly, optionally sharded over every chip in the mesh (BASELINE config
+  5's layout) — the Pallas-fused levels stay available here, unlike the
+  portable artifact:
+
+      python -m unet_goolenet_tpu.apps.serve --live \\
+          --unet-checkpoint ckpt/seg/best --gnet-checkpoint ckpt/cls/best \\
+          --raw-hw 400 500 [--bf16] [--data-parallel] --port 8000
 
     curl -X POST --data-binary @img.npy localhost:8000/v1/grade
     curl localhost:8000/healthz
 
 Concurrent requests are coalesced into single padded device batches
 (pipeline/serving.py): the chip sees power-of-two batches <= --max-batch
-(bounded compile count), requests wait at most --max-wait-ms for peers.
+(bounded compile count; under --data-parallel also divisible by the mesh
+size), requests wait at most --max-wait-ms for peers.
 """
 
 from __future__ import annotations
 
 import argparse
 
-from unet_goolenet_tpu.pipeline.export import load_serving
 from unet_goolenet_tpu.pipeline.serving import GradingServer
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--artifact", required=True,
-                   help="export_serving output directory")
+    p.add_argument("--artifact",
+                   help="export_serving output directory (artifact mode)")
+    p.add_argument("--live", action="store_true",
+                   help="serve the live pipeline from checkpoints instead of "
+                        "an artifact (enables Pallas-fused levels and "
+                        "--data-parallel)")
+    p.add_argument("--unet-checkpoint", help="(--live) stage-1 checkpoint")
+    p.add_argument("--gnet-checkpoint", help="(--live) stage-2 checkpoint")
+    p.add_argument("--raw-hw", type=int, nargs=2, metavar=("H", "W"),
+                   help="(--live) raw grayscale input size the graph is "
+                        "specialised to")
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--num-classes", type=int, default=6)
+    p.add_argument("--bf16", action="store_true",
+                   help="(--live) bf16 compute (f32 in/out)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="(--live) shard device batches over the full mesh")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--max-batch", type=int, default=64,
@@ -36,13 +63,72 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _build_live(args):
+    import jax
+    import jax.numpy as jnp
+
+    from unet_goolenet_tpu.models import (GoogLeNetClassifier,
+                                          UNetTaskAligWeight)
+    from unet_goolenet_tpu.pipeline import TwoStagePipeline
+    from unet_goolenet_tpu.train import optim
+    from unet_goolenet_tpu.train.checkpoint import CheckpointManager
+    from unet_goolenet_tpu.train.cls import init_cls_state
+    from unet_goolenet_tpu.train.seg import init_seg_state
+    from unet_goolenet_tpu.utils.seed import seed_everything
+
+    for flag in ("unet_checkpoint", "gnet_checkpoint", "raw_hw"):
+        if getattr(args, flag) is None:
+            raise SystemExit(f"--live requires --{flag.replace('_', '-')}")
+
+    key = seed_everything()
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    unet = UNetTaskAligWeight(n_classes=1, dtype=dtype)
+    gnet = GoogLeNetClassifier(num_classes=args.num_classes, dtype=dtype)
+    shape = (1, args.img_size, args.img_size, 3)
+    seg_state = init_seg_state(unet, optim.make_adamw(), key, input_shape=shape)
+    seg_state, _ = CheckpointManager(".").restore(args.unet_checkpoint, seg_state)
+    cls_state = init_cls_state(gnet, optim.make_adamw(), key, input_shape=shape)
+    cls_state, _ = CheckpointManager(".").restore(args.gnet_checkpoint, cls_state)
+
+    pipe = TwoStagePipeline(
+        unet, {"params": seg_state.params, "batch_stats": seg_state.batch_stats},
+        gnet, {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
+        img_size=args.img_size, dtype=dtype)
+
+    meta = {"mode": "live", "source": "gray", "raw_hw": list(args.raw_hw),
+            "img_size": args.img_size, "dtype": jnp.dtype(dtype).name,
+            "data_parallel": args.data_parallel,
+            "fused_levels": [k for k in ("fused_up1", "fused_up2",
+                                         "fused_up34", "fused_down1")
+                             if getattr(pipe, k, False)]}
+    if args.data_parallel:
+        from unet_goolenet_tpu.parallel import make_mesh, make_sharded_pipeline
+        mesh = make_mesh()
+        meta["mesh_devices"] = mesh.devices.size
+        return (make_sharded_pipeline(pipe, mesh, source="grades"),
+                meta, mesh.devices.size)
+    return (lambda b: pipe.infer_grades(jnp.asarray(b))), meta, 1
+
+
 def main(argv=None):
     args = parse_args(argv)
-    artifact = load_serving(args.artifact)
-    server = GradingServer(artifact, max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms)
-    print(f"serving {args.artifact} (raw_hw={artifact.meta.get('raw_hw')}, "
-          f"platforms={artifact.meta.get('platforms')}) "
+    if args.live == (args.artifact is not None):
+        raise SystemExit("pass exactly one of --artifact or --live")
+
+    if args.live:
+        grade_fn, meta, pad_multiple = _build_live(args)
+    else:
+        from unet_goolenet_tpu.pipeline.export import load_serving
+        grade_fn = load_serving(args.artifact)
+        meta, pad_multiple = grade_fn.meta, 1
+
+    server = GradingServer(grade_fn, max_batch=args.max_batch,
+                           max_wait_ms=args.max_wait_ms,
+                           pad_multiple=pad_multiple, meta=meta)
+    print(f"serving {'live pipeline' if args.live else args.artifact} "
+          f"(raw_hw={meta.get('raw_hw')}, "
+          f"{'mesh=' + str(meta['mesh_devices']) + ' devices, ' if 'mesh_devices' in meta else ''}"
+          f"platforms={meta.get('platforms', 'live')}) "
           f"on {args.host}:{args.port}", flush=True)
     server.serve(port=args.port, host=args.host)
 

@@ -44,10 +44,13 @@ import numpy as np
 __all__ = ["MicroBatcher", "GradingServer"]
 
 
-def _pow2_bucket(n: int, cap: int) -> int:
+def _pow2_bucket(n: int, cap: int, mult: int = 1) -> int:
+    """Next power of two >= n (capped), rounded up to a multiple of `mult`
+    (dp-sharded grade_fns need the batch divisible by the mesh size)."""
     b = 1
     while b < n and b < cap:
         b *= 2
+    b = -(-b // mult) * mult
     return min(b, cap)
 
 
@@ -72,11 +75,16 @@ class MicroBatcher:
     """
 
     def __init__(self, grade_fn: Callable[[np.ndarray], Sequence[int]], *,
-                 max_batch: int = 64, max_wait_ms: float = 5.0):
+                 max_batch: int = 64, max_wait_ms: float = 5.0,
+                 pad_multiple: int = 1):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if max_batch % pad_multiple:
+            raise ValueError(f"max_batch ({max_batch}) must be a multiple of "
+                             f"pad_multiple ({pad_multiple})")
         self._grade_fn = grade_fn
         self.max_batch = max_batch
+        self.pad_multiple = pad_multiple
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: queue.Queue[_Pending | None] = queue.Queue()
         self.device_calls = 0          # batches dispatched (for /healthz + tests)
@@ -158,7 +166,7 @@ class MicroBatcher:
             try:
                 real = np.stack([p.image for p in items])
                 n = real.shape[0]
-                padded_n = _pow2_bucket(n, self.max_batch)
+                padded_n = _pow2_bucket(n, self.max_batch, self.pad_multiple)
                 if padded_n > n:   # replicate a real image; grades dropped
                     pad = np.broadcast_to(real[:1],
                                           (padded_n - n, *real.shape[1:]))
@@ -184,12 +192,15 @@ class GradingServer:
     (pipeline/export.load_serving) or any (N, H, W) -> (N,) grade callable."""
 
     def __init__(self, artifact, *, max_batch: int = 64,
-                 max_wait_ms: float = 5.0):
-        self.meta = dict(getattr(artifact, "meta", {}))
+                 max_wait_ms: float = 5.0, pad_multiple: int = 1,
+                 meta: dict | None = None):
+        self.meta = dict(meta if meta is not None
+                         else getattr(artifact, "meta", {}))
         raw_hw = self.meta.get("raw_hw")
         self._expect_hw = tuple(raw_hw) if raw_hw else None
         self.batcher = MicroBatcher(artifact, max_batch=max_batch,
-                                    max_wait_ms=max_wait_ms)
+                                    max_wait_ms=max_wait_ms,
+                                    pad_multiple=pad_multiple)
         self._httpd: ThreadingHTTPServer | None = None
 
     # -- request handling ---------------------------------------------------
