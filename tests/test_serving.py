@@ -53,7 +53,7 @@ def test_batcher_pads_to_pow2_and_caps():
     mb = MicroBatcher(grade_fn, max_batch=4, max_wait_ms=100.0)
     try:
         mb.grade_many([np.zeros((2, 2), np.float32)] * 7)
-        assert sum(mb.batch_sizes) == 7
+        assert mb.images_total == 7
         assert all(s in (1, 2, 4) for s in sizes)      # never above max_batch
         assert max(sizes) == 4                         # cap reached
     finally:
@@ -140,7 +140,7 @@ def test_http_healthz_and_errors(server):
         h = json.loads(r.read())
     assert h["ok"] and h["meta"]["raw_hw"] == list(RAW)
     assert h["device_calls"] == srv.batcher.device_calls
-    assert h["images"] == sum(srv.batcher.batch_sizes)
+    assert h["images"] == srv.batcher.images_total
     assert h["call_ms_p50"] is not None and h["call_ms_p50"] > 0
     assert sum(h["batch_size_histogram"].values()) == h["device_calls"]
 
@@ -149,6 +149,26 @@ def test_http_healthz_and_errors(server):
         _post_npy(port, bad)
     assert e.value.code == 400
     assert "raw_hw" in json.loads(e.value.read())["error"]
+
+
+def test_http_rgb_artifact(artifact_dir, tmp_path):
+    """An --source rgb artifact is servable: per-image (S, S, 3) bodies."""
+    pipe, _ = artifact_dir
+    export_serving(pipe, str(tmp_path), source="rgb")
+    srv = GradingServer(load_serving(str(tmp_path)), max_batch=8,
+                        max_wait_ms=5.0)
+    port = srv.start()
+    try:
+        imgs = RNG.uniform(0, 1, (2, S, S, 3)).astype(np.float32)
+        want = np.asarray(pipe.infer_from_rgb(jnp.asarray(imgs))["grades"])
+        assert _post_npy(port, imgs)["grades"] == want.tolist()
+        assert _post_npy(port, imgs[0])["grades"] == [int(want[0])]
+        gray = RNG.uniform(0, 255, (2, S, S)).astype(np.float32)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_npy(port, gray)   # gray body against an rgb graph: clean 400
+        assert e.value.code == 400
+    finally:
+        srv.close()
 
 
 # -------------------------------------------------------- dp-live serving --

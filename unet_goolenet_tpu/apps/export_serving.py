@@ -17,17 +17,11 @@ from __future__ import annotations
 
 import argparse
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unet_goolenet_tpu.models import GoogLeNetClassifier, UNetTaskAligWeight
-from unet_goolenet_tpu.pipeline import TwoStagePipeline
+from unet_goolenet_tpu.apps.common import load_two_stage
 from unet_goolenet_tpu.pipeline.export import export_serving, load_serving
-from unet_goolenet_tpu.train import optim
-from unet_goolenet_tpu.train.checkpoint import CheckpointManager
-from unet_goolenet_tpu.train.cls import init_cls_state
-from unet_goolenet_tpu.train.seg import init_seg_state
 from unet_goolenet_tpu.utils.seed import seed_everything
 
 
@@ -61,20 +55,10 @@ def main(argv=None):
     key = seed_everything()
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    unet = UNetTaskAligWeight(n_classes=1, dtype=dtype)
-    gnet = GoogLeNetClassifier(num_classes=args.num_classes, dtype=dtype)
-    seg_state = init_seg_state(unet, optim.make_adamw(), key,
-                               input_shape=(1, args.img_size, args.img_size, 3))
-    seg_state, _ = CheckpointManager(".").restore(args.unet_checkpoint, seg_state)
-    cls_state = init_cls_state(gnet, optim.make_adamw(), key,
-                               input_shape=(1, args.img_size, args.img_size, 3))
-    cls_state, _ = CheckpointManager(".").restore(args.gnet_checkpoint, cls_state)
-
     # pure-XLA graph: portable StableHLO, no Pallas custom calls (export.py)
-    pipe = TwoStagePipeline(
-        unet, {"params": seg_state.params, "batch_stats": seg_state.batch_stats},
-        gnet, {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
-        img_size=args.img_size, dtype=dtype,
+    pipe = load_two_stage(
+        args.unet_checkpoint, args.gnet_checkpoint, key,
+        img_size=args.img_size, num_classes=args.num_classes, dtype=dtype,
         fused_up1=False, fused_up2=False, fused_up34=False, fused_down1=False)
 
     meta = export_serving(pipe, args.out_dir, source=args.source,

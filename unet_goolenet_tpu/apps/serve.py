@@ -60,20 +60,16 @@ def parse_args(argv=None):
                         "programs")
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="micro-batching window after the first request")
+    p.add_argument("--grade-timeout-s", type=float, default=600.0,
+                   help="per-request wait bound; the first call per pow2 "
+                        "bucket pays an XLA compile, so keep this generous")
     return p.parse_args(argv)
 
 
 def _build_live(args):
-    import jax
     import jax.numpy as jnp
 
-    from unet_goolenet_tpu.models import (GoogLeNetClassifier,
-                                          UNetTaskAligWeight)
-    from unet_goolenet_tpu.pipeline import TwoStagePipeline
-    from unet_goolenet_tpu.train import optim
-    from unet_goolenet_tpu.train.checkpoint import CheckpointManager
-    from unet_goolenet_tpu.train.cls import init_cls_state
-    from unet_goolenet_tpu.train.seg import init_seg_state
+    from unet_goolenet_tpu.apps.common import load_two_stage
     from unet_goolenet_tpu.utils.seed import seed_everything
 
     for flag in ("unet_checkpoint", "gnet_checkpoint", "raw_hw"):
@@ -82,18 +78,9 @@ def _build_live(args):
 
     key = seed_everything()
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    unet = UNetTaskAligWeight(n_classes=1, dtype=dtype)
-    gnet = GoogLeNetClassifier(num_classes=args.num_classes, dtype=dtype)
-    shape = (1, args.img_size, args.img_size, 3)
-    seg_state = init_seg_state(unet, optim.make_adamw(), key, input_shape=shape)
-    seg_state, _ = CheckpointManager(".").restore(args.unet_checkpoint, seg_state)
-    cls_state = init_cls_state(gnet, optim.make_adamw(), key, input_shape=shape)
-    cls_state, _ = CheckpointManager(".").restore(args.gnet_checkpoint, cls_state)
-
-    pipe = TwoStagePipeline(
-        unet, {"params": seg_state.params, "batch_stats": seg_state.batch_stats},
-        gnet, {"params": cls_state.params, "batch_stats": cls_state.batch_stats},
-        img_size=args.img_size, dtype=dtype)
+    pipe = load_two_stage(
+        args.unet_checkpoint, args.gnet_checkpoint, key,
+        img_size=args.img_size, num_classes=args.num_classes, dtype=dtype)
 
     meta = {"mode": "live", "source": "gray", "raw_hw": list(args.raw_hw),
             "img_size": args.img_size, "dtype": jnp.dtype(dtype).name,
@@ -124,7 +111,8 @@ def main(argv=None):
 
     server = GradingServer(grade_fn, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms,
-                           pad_multiple=pad_multiple, meta=meta)
+                           pad_multiple=pad_multiple,
+                           grade_timeout_s=args.grade_timeout_s, meta=meta)
     print(f"serving {'live pipeline' if args.live else args.artifact} "
           f"(raw_hw={meta.get('raw_hw')}, "
           f"{'mesh=' + str(meta['mesh_devices']) + ' devices, ' if 'mesh_devices' in meta else ''}"

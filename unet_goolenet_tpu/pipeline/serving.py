@@ -36,6 +36,7 @@ import json
 import queue
 import threading
 import time
+from collections import Counter, deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Sequence
 
@@ -76,7 +77,7 @@ class MicroBatcher:
 
     def __init__(self, grade_fn: Callable[[np.ndarray], Sequence[int]], *,
                  max_batch: int = 64, max_wait_ms: float = 5.0,
-                 pad_multiple: int = 1):
+                 pad_multiple: int = 1, grade_timeout_s: float = 600.0):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if max_batch % pad_multiple:
@@ -86,22 +87,30 @@ class MicroBatcher:
         self.max_batch = max_batch
         self.pad_multiple = pad_multiple
         self.max_wait_s = max_wait_ms / 1e3
+        # default wait for a grade; generous because the FIRST call per pow2
+        # bucket pays an XLA compile (minutes on the dev tunnel)
+        self.grade_timeout_s = grade_timeout_s
         self._queue: queue.Queue[_Pending | None] = queue.Queue()
-        self.device_calls = 0          # batches dispatched (for /healthz + tests)
-        self.batch_sizes: list[int] = []   # real (unpadded) sizes per call
-        self.call_ms: list[float] = []     # device-call wall times
+        # bounded metrics: a long-lived server must not grow per device call
+        self.device_calls = 0             # batches dispatched
+        self.images_total = 0             # real (unpadded) images graded
+        self.batch_hist: Counter = Counter()      # real batch size -> count
+        self.call_ms: deque = deque(maxlen=4096)  # recent device-call times
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="microbatcher")
         self._thread.start()
 
-    def grade(self, image: np.ndarray, timeout: float | None = 60.0) -> int:
-        """Block until `image` (H, W) is graded; returns the int grade."""
+    def grade(self, image: np.ndarray, timeout: float | None = None) -> int:
+        """Block until `image` is graded; returns the int grade."""
         return self.grade_many([image], timeout=timeout)[0]
 
     def grade_many(self, images: Sequence[np.ndarray],
-                   timeout: float | None = 60.0) -> list[int]:
+                   timeout: float | None = None) -> list[int]:
         """Enqueue ALL images, then wait — one request's images coalesce into
-        the same device batch instead of serialising through `grade`."""
+        the same device batch instead of serialising through `grade`.
+        timeout=None uses grade_timeout_s (compile-tolerant default)."""
+        if timeout is None:
+            timeout = self.grade_timeout_s
         pending = [_Pending(np.asarray(im, np.float32)) for im in images]
         for p in pending:
             self._queue.put(p)
@@ -119,8 +128,9 @@ class MicroBatcher:
         self._thread.join(timeout=10)
 
     def stats(self) -> dict:
-        """Serving metrics snapshot (device-call latency incl. the first
-        compile-heavy calls; image counts per padded-batch size)."""
+        """Serving metrics snapshot. Latency percentiles cover the last
+        len(call_ms)<=4096 device calls (incl. compile-heavy first calls);
+        counters cover the whole lifetime at O(1) memory."""
         ms = sorted(self.call_ms)
 
         def pct(p):
@@ -128,13 +138,12 @@ class MicroBatcher:
 
         return {
             "device_calls": self.device_calls,
-            "images": int(sum(self.batch_sizes)),
+            "images": self.images_total,
             "call_ms_p50": pct(0.50),
             "call_ms_p99": pct(0.99),
             "call_ms_max": round(ms[-1], 2) if ms else None,
             "batch_size_histogram": {
-                str(s): self.batch_sizes.count(s)
-                for s in sorted(set(self.batch_sizes))},
+                str(s): c for s, c in sorted(self.batch_hist.items())},
         }
 
     # -- dispatcher ---------------------------------------------------------
@@ -175,7 +184,8 @@ class MicroBatcher:
                 grades = np.asarray(self._grade_fn(real))
                 self.call_ms.append((time.monotonic() - t0) * 1e3)
                 self.device_calls += 1
-                self.batch_sizes.append(n)
+                self.images_total += n
+                self.batch_hist[n] += 1
                 for p, g in zip(items, grades[:n]):
                     p.grade = int(g)
                     p.event.set()
@@ -193,28 +203,38 @@ class GradingServer:
 
     def __init__(self, artifact, *, max_batch: int = 64,
                  max_wait_ms: float = 5.0, pad_multiple: int = 1,
-                 meta: dict | None = None):
+                 grade_timeout_s: float = 600.0, meta: dict | None = None):
         self.meta = dict(meta if meta is not None
                          else getattr(artifact, "meta", {}))
         raw_hw = self.meta.get("raw_hw")
-        self._expect_hw = tuple(raw_hw) if raw_hw else None
+        # per-image shape the grade_fn expects: (H, W) gray, or (S, S, 3) for
+        # an rgb-source artifact (export_serving --source rgb)
+        shape = tuple(raw_hw) if raw_hw else None
+        if shape is not None and self.meta.get("source") == "rgb":
+            shape = (*shape, 3)
+        self._expect_shape = shape
         self.batcher = MicroBatcher(artifact, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms,
-                                    pad_multiple=pad_multiple)
+                                    pad_multiple=pad_multiple,
+                                    grade_timeout_s=grade_timeout_s)
         self._httpd: ThreadingHTTPServer | None = None
 
     # -- request handling ---------------------------------------------------
 
     def _grade_npy(self, body: bytes) -> list[int]:
         arr = np.load(io.BytesIO(body), allow_pickle=False)
-        if arr.ndim == 2:
+        nd = len(self._expect_shape) if self._expect_shape else 2
+        if arr.ndim == nd:
             arr = arr[None]
-        if arr.ndim != 3:
-            raise ValueError(f"expected (H, W) or (N, H, W), got {arr.shape}")
-        if self._expect_hw and tuple(arr.shape[1:]) != self._expect_hw:
+        if arr.ndim != nd + 1:
+            want = self._expect_shape or "(H, W)"
+            raise ValueError(f"expected per-image shape {want} (optionally "
+                             f"batched), got {arr.shape}")
+        if self._expect_shape and tuple(arr.shape[1:]) != self._expect_shape:
             raise ValueError(
-                f"artifact was exported for raw_hw={self._expect_hw}, "
-                f"got {tuple(arr.shape[1:])}")
+                f"graph was built for raw_hw={self.meta.get('raw_hw')} "
+                f"(source={self.meta.get('source', 'gray')}, per-image shape "
+                f"{self._expect_shape}), got {tuple(arr.shape[1:])}")
         return self.batcher.grade_many(list(arr.astype(np.float32)))
 
     def _handler(server_self):
