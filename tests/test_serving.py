@@ -202,6 +202,32 @@ def test_live_dp_serving_parity(artifact_dir):
         srv.close()
 
 
+def test_warmup_covers_all_buckets():
+    calls = []
+
+    def grade_fn(batch):
+        calls.append(batch.shape[0])
+        return np.zeros(batch.shape[0], np.int64)
+
+    srv = GradingServer(grade_fn, max_batch=16, max_wait_ms=1.0,
+                        pad_multiple=8, meta={"raw_hw": [4, 4]})
+    try:
+        assert srv.warmup() == [8, 16] == calls   # every bucket pre-compiled
+        assert srv.batcher.device_calls == 0      # warmup isn't traffic
+        # live request reuses a warmed bucket shape
+        assert srv.batcher.grade(np.zeros((4, 4), np.float32)) == 0
+        assert calls[-1] == 8
+    finally:
+        srv.close()
+
+    srv2 = GradingServer(grade_fn, meta={})
+    try:
+        with pytest.raises(ValueError, match="raw_hw"):
+            srv2.warmup()
+    finally:
+        srv2.close()
+
+
 def test_pad_multiple_validation_and_bucketing():
     from unet_goolenet_tpu.pipeline.serving import _pow2_bucket
 

@@ -63,6 +63,9 @@ def parse_args(argv=None):
     p.add_argument("--grade-timeout-s", type=float, default=600.0,
                    help="per-request wait bound; the first call per pow2 "
                         "bucket pays an XLA compile, so keep this generous")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile every batch bucket before accepting "
+                        "traffic (no request pays a first-call compile)")
     return p.parse_args(argv)
 
 
@@ -113,12 +116,20 @@ def main(argv=None):
                            max_wait_ms=args.max_wait_ms,
                            pad_multiple=pad_multiple,
                            grade_timeout_s=args.grade_timeout_s, meta=meta)
+    if args.warmup:
+        print("warming batch buckets...", flush=True)
+        print(f"warmed buckets {server.warmup()}", flush=True)
     print(f"serving {'live pipeline' if args.live else args.artifact} "
           f"(raw_hw={meta.get('raw_hw')}, "
           f"{'mesh=' + str(meta['mesh_devices']) + ' devices, ' if 'mesh_devices' in meta else ''}"
           f"platforms={meta.get('platforms', 'live')}) "
           f"on {args.host}:{args.port}", flush=True)
-    server.serve(port=args.port, host=args.host)
+    try:
+        server.serve(port=args.port, host=args.host)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
 
 
 if __name__ == "__main__":

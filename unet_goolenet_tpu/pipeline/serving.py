@@ -275,6 +275,28 @@ class GradingServer:
 
     # -- lifecycle ----------------------------------------------------------
 
+    def warmup(self) -> list[int]:
+        """Pre-compile every pow2/pad_multiple batch bucket with zero batches
+        so no live request pays a first-call XLA compile. Returns the bucket
+        sizes warmed. Requires meta raw_hw (else there is no input shape to
+        build). Call BEFORE serving traffic: this runs grade_fn on the caller
+        thread, which is only safe while the dispatcher is idle."""
+        if self._expect_shape is None:
+            raise ValueError("warmup needs meta['raw_hw'] to build inputs")
+        mb = self.batcher
+        buckets, b = [], 1
+        while True:
+            padded = _pow2_bucket(b, mb.max_batch, mb.pad_multiple)
+            if padded not in buckets:
+                buckets.append(padded)
+            if padded >= mb.max_batch:
+                break
+            b = padded + 1
+        for size in buckets:
+            batch = np.zeros((size, *self._expect_shape), np.float32)
+            np.asarray(mb._grade_fn(batch))   # compile + execute, result dropped
+        return buckets
+
     def start(self, port: int = 0, host: str = "127.0.0.1") -> int:
         """Serve on a background thread; returns the bound port."""
         self._httpd = ThreadingHTTPServer((host, port), self._handler())
