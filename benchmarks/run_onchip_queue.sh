@@ -70,4 +70,8 @@ step e2e-b64             python benchmarks/profile_e2e.py --batches 64
 # 5. training-path points beyond the published batch-8/16 rows.
 step train-packed-b32    python benchmarks/train_bench.py --packed --bf16 --batch 32
 step train-packed-b64    python benchmarks/train_bench.py --packed --bf16 --batch 64
+# 6. serving-stack overhead: deployment artifact vs live jit at prod shape
+#    (batcher mode is tunnel-bound on the dev link — skip it on chip).
+step serve-live          python benchmarks/serve_bench.py --mode live
+step serve-artifact      python benchmarks/serve_bench.py --mode artifact
 echo "=== QUEUE COMPLETE $(date -u) ==="

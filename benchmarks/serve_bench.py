@@ -1,0 +1,116 @@
+"""Serving-stack overhead benchmark: exported artifact vs live jit.
+
+The deployment artifact (pipeline/export.py) runs the SAME pure-XLA grades
+graph as the live pipeline, deserialized from StableHLO instead of traced
+from Python. This harness measures what the artifact costs (or doesn't) at
+the production shape, one short measurement per invocation (tunnel-safe, see
+benchmarks/ONCHIP_RUNBOOK.md):
+
+    python benchmarks/serve_bench.py --mode live       # jit(pipe._grades)
+    python benchmarks/serve_bench.py --mode artifact   # exported.call
+    python benchmarks/serve_bench.py --mode batcher    # + MicroBatcher (host)
+
+live/artifact time repeated device calls on a device-resident input batch and
+fetch only the (N,) grades (tunnel ~1 MB/s: the input must never cross the
+link inside the timed region). batcher measures the host-side dispatcher
+overhead of pipeline/serving.MicroBatcher on top of the artifact (threading +
+stack/pad, no HTTP) — on CPU backends this is the interesting number; on the
+chip it shows whether micro-batching hides inside the device call.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+SIZE = int(os.environ.get("BENCH_SIZE", "224"))          # model input
+_raw = os.environ.get("BENCH_RAW_HW", "400x500")          # raw gray input
+IMG_HW = tuple(int(v) for v in _raw.split("x"))
+REPS = 5
+
+
+def build(dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    from unet_goolenet_tpu.models import (GoogLeNetClassifier,
+                                          UNetTaskAligWeight)
+    from unet_goolenet_tpu.pipeline import TwoStagePipeline
+
+    key = jax.random.PRNGKey(0)
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    unet = UNetTaskAligWeight(n_classes=1, dtype=dtype)
+    gnet = GoogLeNetClassifier(num_classes=6, dtype=dtype)
+    uv = unet.init({"params": key}, jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    gv = gnet.init({"params": key, "dropout": key},
+                   jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    # pure-XLA config on BOTH sides so live-vs-artifact isolates the
+    # serialization path, not the Pallas kernels (which exports exclude)
+    pipe = TwoStagePipeline(unet, uv, gnet, gv, img_size=SIZE, dtype=dtype,
+                            fused_up1=False, fused_up2=False,
+                            fused_up34=False, fused_down1=False)
+    gray = jax.random.uniform(key, (BATCH, *IMG_HW), jnp.float32, 0.0, 255.0)
+    return pipe, jax.device_put(gray)
+
+
+def timeit(fn) -> float:
+    _ = np.asarray(fn())          # compile + warm
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = np.asarray(fn())    # fetch (N,) grades: forces execution, tiny
+        best = min(best, time.perf_counter() - t0)
+    assert out.shape[0] == BATCH
+    return best
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["live", "artifact", "batcher"],
+                   required=True)
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    args = p.parse_args()
+
+    pipe, gray = build(args.dtype)
+
+    if args.mode == "live":
+        fn = lambda: pipe.infer_grades(gray)  # noqa: E731
+        best = timeit(fn)
+    else:
+        from unet_goolenet_tpu.pipeline.export import (export_serving,
+                                                       load_serving)
+        with tempfile.TemporaryDirectory() as d:
+            export_serving(pipe, d, raw_hw=IMG_HW)
+            runner = load_serving(d)
+        if args.mode == "artifact":
+            best = timeit(lambda: runner(gray))
+        else:
+            from unet_goolenet_tpu.pipeline.serving import MicroBatcher
+            host_gray = np.asarray(gray)      # batcher ingests host images
+            mb = MicroBatcher(runner, max_batch=BATCH, max_wait_ms=50.0)
+            try:
+                _ = mb.grade_many(list(host_gray))   # warm the BATCH bucket
+                best = float("inf")
+                for _ in range(REPS):
+                    t0 = time.perf_counter()
+                    out = mb.grade_many(list(host_gray))
+                    best = min(best, time.perf_counter() - t0)
+                assert len(out) == BATCH
+            finally:
+                mb.close()
+
+    print(f"serve_bench mode={args.mode} dtype={args.dtype} batch={BATCH} "
+          f"raw={IMG_HW}: best {best * 1e3:.2f} ms/batch = "
+          f"{BATCH / best:.1f} img/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
