@@ -202,6 +202,32 @@ def test_live_dp_serving_parity(artifact_dir):
         srv.close()
 
 
+def test_close_semantics_and_stress():
+    """close() rejects new work fast; heavy concurrent traffic all routes
+    correctly through coalesced batches."""
+    def grade_fn(batch):
+        return batch[:, 0, 0].astype(np.int64)
+
+    mb = MicroBatcher(grade_fn, max_batch=8, max_wait_ms=2.0)
+    results = {}
+
+    def worker(i):
+        results[i] = mb.grade(np.full((2, 2), i % 50, np.float32))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == {i: i % 50 for i in range(32)}   # every grade routed
+    assert mb.device_calls < 32                        # some coalescing
+    assert mb.images_total == 32
+
+    mb.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.grade(np.zeros((2, 2), np.float32))
+
+
 def test_warmup_covers_all_buckets():
     calls = []
 

@@ -91,6 +91,7 @@ class MicroBatcher:
         # bucket pays an XLA compile (minutes on the dev tunnel)
         self.grade_timeout_s = grade_timeout_s
         self._queue: queue.Queue[_Pending | None] = queue.Queue()
+        self._closed = False
         # bounded metrics: a long-lived server must not grow per device call
         self.device_calls = 0             # batches dispatched
         self.images_total = 0             # real (unpadded) images graded
@@ -109,6 +110,8 @@ class MicroBatcher:
         """Enqueue ALL images, then wait — one request's images coalesce into
         the same device batch instead of serialising through `grade`.
         timeout=None uses grade_timeout_s (compile-tolerant default)."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
         if timeout is None:
             timeout = self.grade_timeout_s
         pending = [_Pending(np.asarray(im, np.float32)) for im in images]
@@ -124,8 +127,20 @@ class MicroBatcher:
         return out
 
     def close(self) -> None:
+        """Grade in-flight items, stop the dispatcher, fail stragglers fast
+        (instead of letting a request racing the shutdown wait out its full
+        grade timeout)."""
+        self._closed = True
         self._queue.put(None)
         self._thread.join(timeout=10)
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None:
+                p.error = RuntimeError("batcher is closed")
+                p.event.set()
 
     def stats(self) -> dict:
         """Serving metrics snapshot. Latency percentiles cover the last
