@@ -67,6 +67,24 @@ def test_gray_requires_raw_hw(pipe, tmp_path):
         export_serving(pipe, str(tmp_path))
 
 
+def test_bf16_pipeline_export_roundtrip(tmp_path):
+    """--bf16 export: bf16 compute inside the graph, f32 in / int grades out."""
+    key = jax.random.PRNGKey(1)
+    unet = UNetTaskAligWeight(n_classes=1, dtype=jnp.bfloat16)
+    gnet = GoogLeNetClassifier(num_classes=6, dtype=jnp.bfloat16)
+    uv = unet.init({"params": key}, jnp.zeros((1, S, S, 3)), train=False)
+    gv = gnet.init({"params": key, "dropout": key},
+                   jnp.zeros((1, S, S, 3)), train=False)
+    bpipe = TwoStagePipeline(unet, uv, gnet, gv, img_size=S,
+                             dtype=jnp.bfloat16)
+    meta = export_serving(bpipe, str(tmp_path), raw_hw=RAW)
+    assert meta["dtype"] == "bfloat16"
+    runner = load_serving(str(tmp_path))
+    gray = RNG.uniform(0, 255, (2, *RAW)).astype(np.float32)
+    want = bpipe.infer_grades(jnp.asarray(gray))
+    np.testing.assert_array_equal(np.asarray(runner(gray)), np.asarray(want))
+
+
 def test_single_platform_export(pipe, tmp_path):
     meta = export_serving(pipe, str(tmp_path), source="rgb",
                           platforms=("cpu",))
