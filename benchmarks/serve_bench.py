@@ -97,13 +97,7 @@ def main() -> None:
             host_gray = np.asarray(gray)      # batcher ingests host images
             mb = MicroBatcher(runner, max_batch=BATCH, max_wait_ms=50.0)
             try:
-                _ = mb.grade_many(list(host_gray))   # warm the BATCH bucket
-                best = float("inf")
-                for _ in range(REPS):
-                    t0 = time.perf_counter()
-                    out = mb.grade_many(list(host_gray))
-                    best = min(best, time.perf_counter() - t0)
-                assert len(out) == BATCH
+                best = timeit(lambda: mb.grade_many(list(host_gray)))
             finally:
                 mb.close()
 

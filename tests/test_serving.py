@@ -226,6 +226,36 @@ def test_close_semantics_and_stress():
     mb.close()
     with pytest.raises(RuntimeError, match="closed"):
         mb.grade(np.zeros((2, 2), np.float32))
+    mb.close()   # idempotent
+
+
+def test_close_rearms_sentinel_for_stuck_dispatcher():
+    """close() racing a device call that outlasts its join window must NOT
+    swallow the shutdown sentinel — the dispatcher has to find it once the
+    call returns, grade the in-flight item, and exit (serving.py close())."""
+    release = threading.Event()
+    entered = threading.Event()
+
+    def grade_fn(batch):
+        entered.set()
+        assert release.wait(30)   # simulate a long first-call XLA compile
+        return batch[:, 0, 0].astype(np.int64)
+
+    mb = MicroBatcher(grade_fn, max_batch=4, max_wait_ms=1.0)
+    got = {}
+    w = threading.Thread(target=lambda: got.update(g=mb.grade(
+        np.full((2, 2), 7, np.float32), timeout=60)))
+    w.start()
+    assert entered.wait(10)       # dispatcher is now stuck inside grade_fn
+    closer = threading.Thread(target=mb.close)   # join(10) will expire
+    closer.start()
+    closer.join(timeout=20)
+    assert not closer.is_alive()  # close returned, leaving the sentinel armed
+    release.set()                 # device call completes
+    w.join(timeout=10)
+    assert got.get("g") == 7      # in-flight item still graded
+    mb._thread.join(timeout=10)
+    assert not mb._thread.is_alive()   # dispatcher consumed the re-armed sentinel
 
 
 def test_warmup_covers_all_buckets():

@@ -92,6 +92,11 @@ class MicroBatcher:
         self.grade_timeout_s = grade_timeout_s
         self._queue: queue.Queue[_Pending | None] = queue.Queue()
         self._closed = False
+        # makes the closed-check atomic with the enqueue (grade_many) and with
+        # setting _closed + the sentinel (close), so a request racing shutdown
+        # either lands BEFORE the sentinel (graded in-flight) or gets the fast
+        # RuntimeError — never a stranded _Pending waiting out grade_timeout_s
+        self._close_lock = threading.Lock()
         # bounded metrics: a long-lived server must not grow per device call
         self.device_calls = 0             # batches dispatched
         self.images_total = 0             # real (unpadded) images graded
@@ -110,13 +115,14 @@ class MicroBatcher:
         """Enqueue ALL images, then wait — one request's images coalesce into
         the same device batch instead of serialising through `grade`.
         timeout=None uses grade_timeout_s (compile-tolerant default)."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         if timeout is None:
             timeout = self.grade_timeout_s
         pending = [_Pending(np.asarray(im, np.float32)) for im in images]
-        for p in pending:
-            self._queue.put(p)
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            for p in pending:
+                self._queue.put(p)
         out = []
         for p in pending:
             if not p.event.wait(timeout):
@@ -130,17 +136,31 @@ class MicroBatcher:
         """Grade in-flight items, stop the dispatcher, fail stragglers fast
         (instead of letting a request racing the shutdown wait out its full
         grade timeout)."""
-        self._closed = True
-        self._queue.put(None)
+        with self._close_lock:
+            if self._closed:       # idempotent; only the first close signals
+                self._thread.join(timeout=10)
+                return
+            self._closed = True
+            self._queue.put(None)
         self._thread.join(timeout=10)
+        # Fail any stragglers the dispatcher never reached. The lock above
+        # guarantees no _Pending sits BEHIND the sentinel, so everything here
+        # is either a pre-sentinel item a still-stuck dispatcher hasn't graded
+        # yet, or the sentinel itself. If the dispatcher is still alive (e.g.
+        # mid device call that outlasted the join), re-arm its sentinel rather
+        # than swallowing it — otherwise it would block on get() forever.
         while True:
             try:
                 p = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if p is not None:
-                p.error = RuntimeError("batcher is closed")
-                p.event.set()
+            if p is None:
+                if self._thread.is_alive():
+                    self._queue.put(None)
+                    break
+                continue
+            p.error = RuntimeError("batcher is closed")
+            p.event.set()
 
     def stats(self) -> dict:
         """Serving metrics snapshot. Latency percentiles cover the last
