@@ -117,6 +117,53 @@ class TestShardedTraining:
                                       np.asarray(ref["grades"]))
 
 
+class TestShardedClsAux:
+    def test_dp_cls_aux_step_matches_single_device(self, mesh):
+        """train_cls --data-parallel --aux-weight: the sharded step forwards
+        aux_weight to the same loss as the single-device step (GoogLeNet
+        paper-style CE(main) + w*sum CE(aux)); loss and params must match to
+        reduction noise."""
+        from unet_goolenet_tpu.models import GoogLeNetClassifier
+        from unet_goolenet_tpu.parallel import make_sharded_cls_train_step
+        from unet_goolenet_tpu.train.cls import init_cls_state, make_cls_train_step
+
+        model = GoogLeNetClassifier(num_classes=6, aux_logits=True)
+        tx = optim.make_adamw(1e-3)
+        state = init_cls_state(model, tx, KEY, input_shape=(1, 64, 64, 3))
+
+        imgs = jax.random.uniform(KEY, (8, 64, 64, 3))
+        labels = jnp.arange(8) % 6
+        se_out = jax.random.normal(jax.random.PRNGKey(1), (8, 64, 64, 1))
+        rng = jax.random.PRNGKey(7)
+
+        ref_step = jax.jit(make_cls_train_step(model, tx, aux_weight=0.3))
+        ref_state, ref_m = ref_step(state, imgs, labels, se_out, rng)
+
+        state_r = replicate(mesh, state)
+        sharded = shard_batch(mesh, {"imgs": imgs, "labels": labels,
+                                     "se_out": se_out})
+        dp_step = make_sharded_cls_train_step(model, tx, mesh, aux_weight=0.3)
+        dp_state, dp_m = dp_step(state_r, sharded["imgs"], sharded["labels"],
+                                 sharded["se_out"], rng)
+
+        # Tolerance: the reported loss is the refinement (2nd) pass's, computed
+        # AFTER one AdamW update — near-zero grads flip ~sign(g)*lr under
+        # cross-shard f32 reduction reordering and the two dropout-0.7 aux
+        # heads amplify the pass-2 drift (measured 0.8%; test_tp documents the
+        # same mechanism at 0.2% without aux). The wiring failure this test
+        # guards against — aux_weight silently dropped by the sharded factory —
+        # would show as a ~34% mismatch (plain CE ~1.8 vs aux ~2.7).
+        np.testing.assert_allclose(float(ref_m["loss"]), float(dp_m["loss"]),
+                                   rtol=2e-2)
+        # atol covers two lr=1e-3 AdamW updates whose ~sign(g) flips under
+        # reduction reordering on near-zero-gradient elements; a dropped
+        # aux_weight changes every aux-head gradient wholesale, far above it.
+        a = jax.tree_util.tree_leaves(ref_state.params)[0]
+        b = jax.tree_util.tree_leaves(dp_state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2.5e-3)
+
+
 class TestEngineRoiExtractorSharded:
     def test_dp_extractor_matches_single_device(self, mesh):
         """apps/train_cls --engine-roi under --data-parallel: the packed-engine

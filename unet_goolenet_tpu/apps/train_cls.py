@@ -191,12 +191,9 @@ def main(argv=None):
             make_sharded_cls_train_step, replicate)
         from unet_goolenet_tpu.train.seg import TrainState
 
-        if args.aux_weight > 0:
-            raise SystemExit("--data-parallel with --aux-weight is not wired "
-                             "(make_sharded_cls_train_step fixes the loss to "
-                             "the reference's plain CE)")
         state = TrainState(*(replicate(mesh, part) for part in state))
-        train_step = make_sharded_cls_train_step(model, tx, mesh)
+        train_step = make_sharded_cls_train_step(model, tx, mesh,
+                                                 aux_weight=args.aux_weight)
     else:
         train_step = jax.jit(
             make_cls_train_step(model, tx, aux_weight=args.aux_weight),

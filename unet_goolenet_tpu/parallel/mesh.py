@@ -97,13 +97,16 @@ def make_tp_dp_seg_train_step(model, tx, mesh: Mesh, *, loss_fn=None, n_refine=2
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_sharded_cls_train_step(model, tx, mesh: Mesh, *, n_refine=2):
+def make_sharded_cls_train_step(model, tx, mesh: Mesh, *, n_refine=2,
+                                aux_weight: float = 0.0):
     """Data-parallel stage-2 train step (分类/ROI_main.py:198-241 semantics via
     train.cls.make_cls_train_step): imgs/labels/se_out sharded over 'data', state
-    and rng replicated; XLA SPMD emits the gradient all-reduce."""
+    and rng replicated; XLA SPMD emits the gradient all-reduce. `aux_weight`
+    forwards to the aux-loss extension (needs aux_logits=True on the model)."""
     from unet_goolenet_tpu.train.cls import make_cls_train_step
 
-    step = make_cls_train_step(model, tx, n_refine=n_refine)
+    step = make_cls_train_step(model, tx, n_refine=n_refine,
+                               aux_weight=aux_weight)
     rep = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
