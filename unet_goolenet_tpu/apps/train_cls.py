@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from unet_goolenet_tpu.data import ClsDataset, DataLoader
 from unet_goolenet_tpu.eval import ClsMetrics
 from unet_goolenet_tpu.models import UNetTaskAligWeight, GoogLeNetClassifier
+from unet_goolenet_tpu.parallel import multihost as mh
 from unet_goolenet_tpu.pipeline.two_stage import extract_roi
 from unet_goolenet_tpu.train import optim
 from unet_goolenet_tpu.train.checkpoint import CheckpointManager
@@ -61,6 +62,15 @@ def parse_args(argv=None):
                         "inserts the gradient all-reduce. Requires --batch-size "
                         "divisible by the device count; short final train "
                         "batches are dropped")
+    p.add_argument("--multihost", action="store_true",
+                   help="pod-scale run: one process per host over a global "
+                        "mesh (requires --data-parallel; --batch-size is PER "
+                        "PROCESS; --save-dir/--resume must be shared storage)")
+    p.add_argument("--coordinator", default=None,
+                   help="process-0 host:port for --multihost (omit on TPU "
+                        "pods: all three process-group args auto-detect)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--device-epoch", action="store_true",
                    help="fully device-resident training: stage the wavelet images "
                         "once; each epoch runs frozen-UNet ROI extraction, crop "
@@ -114,6 +124,12 @@ def main(argv=None):
         # the device-epoch runner stages/steps on one device; silently ignoring
         # either flag would misreport what ran
         raise SystemExit("--data-parallel cannot be combined with --device-epoch")
+    if args.multihost:
+        if not args.data_parallel:
+            raise SystemExit("--multihost requires --data-parallel")
+        # before any JAX API touches devices
+        mh.init_distributed(args.coordinator, args.num_processes,
+                            args.process_id)
     if args.engine_roi == "on" and args.img_size % 2 != 0:
         # the packed engine forward needs an even width; silently falling back
         # to the flax extractor would misreport what ran (same contract as the
@@ -121,21 +137,31 @@ def main(argv=None):
         raise SystemExit("--engine-roi on requires an even --img-size "
                          f"(got {args.img_size}); use --engine-roi auto/off")
     key = seed_everything(args.seed)
-    logger = MetricLogger(args.log_dir, "train_cls")
+    main_proc = mh.is_main()
+    logger = MetricLogger(args.log_dir if main_proc else None, "train_cls")
 
     mesh = None
     if args.data_parallel and len(jax.devices()) > 1:
         from unet_goolenet_tpu.parallel import make_mesh
 
         mesh = make_mesh()
-        if args.batch_size % mesh.shape["data"]:
+        # multihost: --batch-size is per process, so the divisibility that
+        # makes the GLOBAL batch shardable is against the LOCAL device count
+        divisor = (jax.local_device_count() if args.multihost
+                   else mesh.shape["data"])
+        if args.batch_size % divisor:
             raise SystemExit(f"--data-parallel: --batch-size {args.batch_size} "
                              f"must be divisible by the device count "
-                             f"{mesh.shape['data']}")
+                             f"{divisor}")
 
     rng_np = np.random.default_rng(args.seed)
     train_ds = ClsDataset(args.train_dir, img_size=args.img_size, train=True, rng=rng_np)
     val_ds = ClsDataset(args.val_dir, img_size=args.img_size, train=False)
+    if args.multihost:
+        # per-process contiguous stripes, equalised so collective step counts
+        # match across hosts (multihost.stripe docstring)
+        train_ds = mh.stripe(train_ds)
+        val_ds = mh.stripe(val_ds)
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
                               drop_last=mesh is not None)
     val_loader = DataLoader(val_ds, args.batch_size)
@@ -148,12 +174,21 @@ def main(argv=None):
     seg_mgr = CheckpointManager(".")
     seg_state, _ = seg_mgr.restore(args.unet_checkpoint, seg_state)
     unet_vars = {"params": seg_state.params, "batch_stats": seg_state.batch_stats}
+    unet_vars_host = None
     if mesh is not None:
         from unet_goolenet_tpu.parallel import replicate
 
         # frozen-UNet ROI extraction shards by GSPMD propagation: vars
         # replicated on the mesh + batch sharded over 'data' below
-        unet_vars = replicate(mesh, unet_vars)
+        if args.multihost:
+            # global placement: device_put cannot reach other hosts' devices.
+            # Keep a host copy for the LOCAL eval extractor below (a jit over
+            # global vars with this host's val images would mix addressable
+            # and non-addressable arrays).
+            unet_vars_host = jax.device_get(unet_vars)
+            unet_vars = mh.replicate_global(mesh, unet_vars_host)
+        else:
+            unet_vars = replicate(mesh, unet_vars)
 
     use_engine = args.img_size % 2 == 0 and (
         args.engine_roi == "on"
@@ -163,6 +198,12 @@ def main(argv=None):
         # the fused Pallas up1 tail compiles on TPU only (pltpu primitives)
         fused=use_engine and mesh is None
         and jax.default_backend() == "tpu")
+    # multihost eval runs each host's val stripe through a LOCAL extractor
+    # (no collectives, so stripes need not stay in lockstep batch-for-batch)
+    extract_eval = extract
+    if args.multihost:
+        extract_eval = make_roi_extractor(
+            unet, unet_vars_host, args.img_size, engine=use_engine, fused=False)
 
     # device-resident ROI-crop augmentation (the reference does this on host per
     # item, ROI_main.py:117-122; here it joins the jitted batch path)
@@ -191,13 +232,19 @@ def main(argv=None):
             make_sharded_cls_train_step, replicate)
         from unet_goolenet_tpu.train.seg import TrainState
 
-        state = TrainState(*(replicate(mesh, part) for part in state))
+        if args.multihost:
+            state = mh.replicate_global(mesh, jax.device_get(state))
+            lr_put = lambda v: mh.replicate_global(mesh, np.float32(v))
+        else:
+            state = TrainState(*(replicate(mesh, part) for part in state))
+            lr_put = lambda v: v
         train_step = make_sharded_cls_train_step(model, tx, mesh,
                                                  aux_weight=args.aux_weight)
     else:
         train_step = jax.jit(
             make_cls_train_step(model, tx, aux_weight=args.aux_weight),
             donate_argnums=0)
+        lr_put = lambda v: v
     eval_step = jax.jit(make_cls_eval_step(model))
 
     epoch_runner = None
@@ -229,7 +276,7 @@ def main(argv=None):
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        optim.set_learning_rate(state.opt_state, plateau.lr)
+        optim.set_learning_rate(state.opt_state, lr_put(plateau.lr))
         if args.device_epoch:
             rng, sub = jax.random.split(rng)
             state, loss = run_device_epoch(state, sub)
@@ -237,36 +284,70 @@ def main(argv=None):
         else:
             train_losses = []
             for batch in train_loader:
-                imgs = jnp.asarray(batch["image"])
-                labels = jnp.asarray(batch["cl_label"])
-                if mesh is not None:
-                    from unet_goolenet_tpu.parallel import shard_batch
+                if args.multihost:
+                    # this host's stripe of the global batch -> global arrays
+                    imgs, labels = mh.global_batch(
+                        mesh, (np.asarray(batch["image"]),
+                               np.asarray(batch["cl_label"])))
+                else:
+                    imgs = jnp.asarray(batch["image"])
+                    labels = jnp.asarray(batch["cl_label"])
+                    if mesh is not None:
+                        from unet_goolenet_tpu.parallel import shard_batch
 
-                    imgs, labels = shard_batch(mesh, (imgs, labels))
+                        imgs, labels = shard_batch(mesh, (imgs, labels))
                 crops, se_out = extract(imgs)
                 rng, sub = jax.random.split(rng)
                 if crop_augment is not None:
                     rng, asub = jax.random.split(rng)
+                    if args.multihost:
+                        # keys are identical on every process (same seed, same
+                        # split sequence); make the placement explicit so the
+                        # global-array jits never mix in committed local arrays
+                        asub = mh.replicate_global(mesh, np.asarray(asub))
                     crops = crop_augment(asub, crops)
+                if args.multihost:
+                    sub = mh.replicate_global(mesh, np.asarray(sub))
                 state, metrics = train_step(state, crops, labels, se_out, sub)
                 train_losses.append(metrics["loss"])
             train_loss = float(jnp.mean(jnp.stack(train_losses)))
 
         cls_metrics = ClsMetrics(num_classes=args.num_classes)
+        # multihost: eval each host's val stripe locally on a host copy of the
+        # replicated state (keeps the jits single-process), then weight-average
+        # losses/scores across processes so every host's plateau / early-stop /
+        # best-checkpoint control flow stays identical
+        eval_state = jax.device_get(state) if args.multihost else state
         val_losses = []
         for batch in val_loader:
-            crops, _ = extract(jnp.asarray(batch["image"]))
-            loss, logits = eval_step(state, crops, jnp.asarray(batch["cl_label"]))
+            crops, _ = extract_eval(jnp.asarray(batch["image"]))
+            loss, logits = eval_step(eval_state, crops,
+                                     jnp.asarray(batch["cl_label"]))
             val_losses.append(float(loss))
             cls_metrics.update(logits, batch["cl_label"])
         val_loss = float(np.mean(val_losses))
         scores = cls_metrics.aggregate()
+        if args.multihost:
+            w = float(len(val_ds))
+            val_loss = mh.process_mean(val_loss, w)
+            # confusion is COUNTS -> summed; the scalar scores are weight-
+            # averaged (NaN = undefined on this stripe -> weight 0)
+            cm = mh.process_sum(scores.pop("confusion"))
+            scores = {
+                k: mh.process_mean(0.0 if np.isnan(v) else float(v),
+                                   0.0 if np.isnan(v) else w)
+                for k, v in scores.items()}
+            scores["confusion"] = cm
 
         plateau = optim.plateau_step(plateau, jnp.float32(train_loss))
         logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
                    f1=scores["f1"], acc=scores["accuracy"], auroc=scores["auroc"],
                    lr=float(plateau.lr), secs=time.time() - t0)
 
+        # multihost: EVERY process calls the save methods (orbax saves are
+        # collective — primary-only calls deadlock at orbax's save_start
+        # barrier); the decisions below are lockstep because val_loss/scores
+        # are process-averaged above. --save-dir must be shared storage.
         if val_loss < best_val_loss:
             best_val_loss = val_loss
             mgr.save_best_loss(state, epoch)
@@ -279,6 +360,10 @@ def main(argv=None):
             break
     print(f"done: best_val_loss={best_val_loss:.4f} best_acc={best_acc:.4f}",
           flush=True)
+    if args.multihost:
+        # hold fast hosts until process 0 finishes checkpoint writes — an
+        # early exit trips jax.distributed's shutdown barrier (multihost.sync)
+        mh.sync("train_cls_done")
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@ from unet_goolenet_tpu.eval import SegMetrics
 from unet_goolenet_tpu.models import UNetTaskAligWeight
 from unet_goolenet_tpu.parallel import make_mesh, replicate, shard_batch, \
     make_sharded_seg_train_step
+from unet_goolenet_tpu.parallel import multihost as mh
 from unet_goolenet_tpu.train import optim
 from unet_goolenet_tpu.train.checkpoint import CheckpointManager
 from unet_goolenet_tpu.train.seg import (
@@ -44,6 +45,15 @@ def parse_args(argv=None):
     p.add_argument("--warm-start", default=None, help="checkpoint to load weights from")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="pod-scale run: one process per host over a global "
+                        "mesh (requires --data-parallel; --batch-size is PER "
+                        "PROCESS; --save-dir/--resume must be shared storage)")
+    p.add_argument("--coordinator", default=None,
+                   help="process-0 host:port for --multihost (omit on TPU "
+                        "pods: all three process-group args auto-detect)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--device-epoch", action="store_true",
                    help="fully device-resident training: stage the dataset once, "
                         "augment on device, run each epoch as ONE jitted scan "
@@ -66,12 +76,28 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost:
+        if not args.data_parallel:
+            raise SystemExit("--multihost requires --data-parallel")
+        if args.device_epoch:
+            raise SystemExit("--multihost with --device-epoch is not wired "
+                             "(the device-resident epoch stages the FULL "
+                             "dataset per process)")
+        # before any JAX API touches devices
+        mh.init_distributed(args.coordinator, args.num_processes,
+                            args.process_id)
     key = seed_everything(args.seed)
-    logger = MetricLogger(args.log_dir, "train_seg")
+    main_proc = mh.is_main()
+    logger = MetricLogger(args.log_dir if main_proc else None, "train_seg")
 
     rng_np = np.random.default_rng(args.seed)
     train_ds = SegDataset(args.train_dir, img_size=args.img_size, train=True, rng=rng_np)
     val_ds = SegDataset(args.val_dir, img_size=args.img_size, train=False)
+    if args.multihost:
+        # per-process contiguous stripes, equalised so collective step counts
+        # match across hosts (multihost.stripe docstring)
+        train_ds = mh.stripe(train_ds)
+        val_ds = mh.stripe(val_ds)
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               drop_last=args.data_parallel, seed=args.seed)
     val_loader = DataLoader(val_ds, args.batch_size)
@@ -98,14 +124,22 @@ def main(argv=None):
             "with --data-parallel (the sharded step uses the flax forward)")
     if args.data_parallel and len(jax.devices()) > 1:
         mesh = make_mesh()
-        state = replicate(mesh, state)
+        if args.multihost:
+            # global placement: device_put cannot reach other hosts' devices
+            state = mh.replicate_global(mesh, jax.device_get(state))
+            put = lambda b: mh.global_batch(mesh, b)
+            lr_put = lambda v: mh.replicate_global(mesh, np.float32(v))
+        else:
+            state = replicate(mesh, state)
+            put = lambda b: shard_batch(mesh, b)
+            lr_put = lambda v: v
         train_step = make_sharded_seg_train_step(model, tx, mesh)
-        put = lambda b: shard_batch(mesh, b)
     else:
         fwd = "engine-packed" if args.engine_forward else "flax"
         train_step = jax.jit(make_seg_train_step(model, tx, forward=fwd),
                              donate_argnums=0)
         put = lambda b: b
+        lr_put = lambda v: v
     eval_step = jax.jit(make_seg_eval_step(model))
 
     epoch_runner = None
@@ -141,7 +175,7 @@ def main(argv=None):
     epoch_key = jax.random.PRNGKey(args.seed)
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        optim.set_learning_rate(state.opt_state, plateau.lr)
+        optim.set_learning_rate(state.opt_state, lr_put(plateau.lr))
         if args.device_epoch:
             epoch_key, sub = jax.random.split(epoch_key)
             state, loss = run_device_epoch(state, sub)
@@ -156,20 +190,37 @@ def main(argv=None):
 
         seg_metrics = SegMetrics(empty_pred_hack=True,
                                  compute_hausdorff=args.hausdorff)
+        # multihost: eval each host's val stripe locally (a host copy of the
+        # replicated state keeps the jit single-process — global params with
+        # local images would mix addressable and non-addressable arrays),
+        # then weight-average losses/scores across processes so every host's
+        # plateau / early-stop / best-checkpoint control flow stays identical
+        eval_state = jax.device_get(state) if args.multihost else state
         val_losses = []
         for batch in val_loader:
-            loss, masks = eval_step(state, jnp.asarray(batch["image"]),
+            loss, masks = eval_step(eval_state, jnp.asarray(batch["image"]),
                                     jnp.asarray(batch["se_label"]))
             val_losses.append(float(loss))
             seg_metrics.update(masks, batch["se_label"])
         val_loss = float(np.mean(val_losses))
         scores = seg_metrics.aggregate()
+        if args.multihost:
+            w = float(len(val_ds))
+            val_loss = mh.process_mean(val_loss, w)
+            scores = {  # NaN = undefined on this stripe -> weight 0
+                k: mh.process_mean(0.0 if np.isnan(v) else float(v),
+                                   0.0 if np.isnan(v) else w)
+                for k, v in scores.items()}
 
         plateau = optim.plateau_step(plateau, jnp.float32(train_loss))
         logger.log(epoch, train_loss=train_loss, val_loss=val_loss,
                    lr=float(plateau.lr), secs=time.time() - t0, **{
                        k: v for k, v in scores.items() if not np.isnan(v)})
 
+        # multihost: EVERY process calls the save methods (orbax saves are
+        # collective — primary-only calls deadlock at orbax's save_start
+        # barrier); the decisions below are lockstep because val_loss/scores
+        # are process-averaged above. --save-dir must be shared storage.
         if val_loss < best_val_loss:
             best_val_loss = val_loss
             mgr.save_best_loss(state, epoch)
@@ -181,6 +232,10 @@ def main(argv=None):
             break
     print(f"done: best_val_loss={best_val_loss:.4f} best_dice={best_dice:.4f}",
           flush=True)
+    if args.multihost:
+        # hold fast hosts until process 0 finishes checkpoint writes — an
+        # early exit trips jax.distributed's shutdown barrier (multihost.sync)
+        mh.sync("train_seg_done")
 
 
 if __name__ == "__main__":

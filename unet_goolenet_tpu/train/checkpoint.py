@@ -32,9 +32,17 @@ class CheckpointManager:
         self._ckpt = ocp.StandardCheckpointer()
 
     # ----------------------------------------------------------------- helpers
-    def _save(self, path: str, state: TrainState, epoch: int) -> None:
-        if os.path.exists(path):
+    @staticmethod
+    def _rmtree(path: Optional[str]) -> None:
+        # Multihost runs save to SHARED storage with every process calling the
+        # save methods (orbax's Checkpointer.save opens with a global barrier,
+        # so a primary-only call deadlocks); directory cleanup stays on the
+        # primary. Single-process: process_index() == 0 always.
+        if jax.process_index() == 0 and path and os.path.exists(path):
             shutil.rmtree(path)
+
+    def _save(self, path: str, state: TrainState, epoch: int) -> None:
+        self._rmtree(path)
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -48,8 +56,7 @@ class CheckpointManager:
     def save_best_loss(self, state: TrainState, epoch: int) -> str:
         """New best-val-loss snapshot; deletes the previous one (main.py:269-279)."""
         path = os.path.join(self.directory, f"best_model_epoch{epoch}")
-        if self._best_loss_path and os.path.exists(self._best_loss_path):
-            shutil.rmtree(self._best_loss_path)
+        self._rmtree(self._best_loss_path)
         self._save(path, state, epoch)
         self._best_loss_path = path
         return path
@@ -57,8 +64,7 @@ class CheckpointManager:
     def save_best_metric(self, state: TrainState, epoch: int, tag: str = "seg") -> str:
         """New best-metric snapshot (dice for seg, acc for cls; main.py:291-300)."""
         path = os.path.join(self.directory, f"best_{tag}_model_epoch{epoch}")
-        if self._best_metric_path and os.path.exists(self._best_metric_path):
-            shutil.rmtree(self._best_metric_path)
+        self._rmtree(self._best_metric_path)
         self._save(path, state, epoch)
         self._best_metric_path = path
         return path
