@@ -76,6 +76,8 @@ def test_stripe_host_logic():
     assert [s2[i] for i in range(3)] == [6, 7, 8]
     with pytest.raises(IndexError):
         s0[3]
+    with pytest.raises(ValueError):  # fewer items than processes: fail loud
+        stripe(list(range(2)), index=0, count=3)
 
 
 def test_single_process_helpers_degrade():
@@ -139,6 +141,68 @@ def test_multihost_cli_train_seg(tmp_path):
     assert any(f.startswith("best_model") for f in os.listdir(save_dir))
     assert os.listdir(log_dirs[0])
     assert not os.path.isdir(log_dirs[1]) or not os.listdir(log_dirs[1])
+
+
+def test_multihost_resume(tmp_path):
+    """Pod-scale checkpoint durability (SURVEY §5 checkpoint row): a
+    checkpoint written by the COLLECTIVE multihost save must restore — in a
+    fresh multihost run via --resume (picking up at the saved epoch) and in a
+    plain single-process restore (host tooling reading a pod's artifact)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(13)
+    for split in ("train", "val"):
+        (tmp_path / split / "images").mkdir(parents=True)
+        (tmp_path / split / "labels").mkdir(parents=True)
+        for i in range(8):
+            img = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+            mask = np.zeros((40, 48), np.uint8)
+            mask[6 + i : 32, 8 : 36 - i] = 255
+            Image.fromarray(img).save(tmp_path / split / "images" / f"{i}.png")
+            Image.fromarray(mask).save(tmp_path / split / "labels" / f"{i}.png")
+
+    save_dir = str(tmp_path / "ckpt_shared")
+
+    def cmd(p, port, extra):
+        return [sys.executable, "-m", "unet_goolenet_tpu.apps.train_seg",
+                "--train-dir", str(tmp_path / "train"),
+                "--val-dir", str(tmp_path / "val"),
+                "--batch-size", "4", "--img-size", "16",
+                "--save-dir", save_dir,
+                "--data-parallel", "--multihost",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(p)] + extra
+
+    port = _free_port()
+    _run_pair(tmp_path, [cmd(p, port, ["--epochs", "1"]) for p in range(2)])
+    ckpts = [f for f in os.listdir(save_dir) if f.startswith("best_model")]
+    assert ckpts, os.listdir(save_dir)
+    ckpt = os.path.join(save_dir, ckpts[0])
+
+    # single-process restore of the pod-written artifact
+    import jax
+    from unet_goolenet_tpu.models import UNetTaskAligWeight
+    from unet_goolenet_tpu.train import optim
+    from unet_goolenet_tpu.train.checkpoint import CheckpointManager
+    from unet_goolenet_tpu.train.seg import init_seg_state
+
+    template = init_seg_state(UNetTaskAligWeight(n_classes=1),
+                              optim.make_adamw(1e-4), jax.random.PRNGKey(0),
+                              input_shape=(1, 16, 16, 3))
+    state, epoch = CheckpointManager(save_dir).restore(ckpt, template)
+    assert epoch == 0
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    # multihost --resume restores on BOTH hosts and re-enters the loop at the
+    # saved epoch (the repo-wide resume convention, range(start_epoch, epochs))
+    port = _free_port()
+    logs = _run_pair(tmp_path, [
+        cmd(p, port, ["--epochs", "2", "--resume", ckpt]) for p in range(2)])
+    import re
+    for log in logs:
+        assert re.search(r"resumed from .* at epoch 0", log), log[-2000:]
+        assert "[step 1]" in log, log[-2000:]
 
 
 def test_multihost_cli_train_cls(tmp_path):

@@ -77,6 +77,11 @@ class stripe:
         self.count = jax.process_count() if count is None else count
         self.index = jax.process_index() if index is None else index
         self._len = len(dataset) // self.count
+        if self._len == 0:
+            raise ValueError(
+                f"dataset of {len(dataset)} items cannot be striped over "
+                f"{self.count} processes (every process would see 0 items "
+                "and the train/val loops would silently produce NaN means)")
         self._start = self.index * self._len
 
     def __len__(self) -> int:

@@ -101,7 +101,9 @@ class CheckpointManager:
         # renames it, getattr would quietly return False everywhere and this
         # whole fix would no-op. Probe its behavior once and fail loudly
         # instead (a committed device_put array must report True).
-        probe = jax.device_put(np.zeros(1), jax.devices()[0])
+        # local_devices: in a multihost run, jax.devices()[0] belongs to
+        # process 0 — device_put onto it from another process is an error
+        probe = jax.device_put(np.zeros(1), jax.local_devices()[0])
         if getattr(probe, "_committed", None) is not True:
             raise RuntimeError(
                 "jax.Array._committed no longer behaves as expected on this "
