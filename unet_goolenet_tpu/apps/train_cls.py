@@ -153,11 +153,14 @@ def main(argv=None):
             raise SystemExit(f"--data-parallel: --batch-size {args.batch_size} "
                              f"must be divisible by the device count "
                              f"{divisor}")
+    # on a single-device/single-process rig the flag is inert: every multihost
+    # code path below degrades to the plain single-device flow
+    multihost = args.multihost and mesh is not None
 
     rng_np = np.random.default_rng(args.seed)
     train_ds = ClsDataset(args.train_dir, img_size=args.img_size, train=True, rng=rng_np)
     val_ds = ClsDataset(args.val_dir, img_size=args.img_size, train=False)
-    if args.multihost:
+    if multihost:
         # per-process contiguous stripes, equalised so collective step counts
         # match across hosts (multihost.stripe docstring)
         train_ds = mh.stripe(train_ds)
@@ -180,7 +183,7 @@ def main(argv=None):
 
         # frozen-UNet ROI extraction shards by GSPMD propagation: vars
         # replicated on the mesh + batch sharded over 'data' below
-        if args.multihost:
+        if multihost:
             # global placement: device_put cannot reach other hosts' devices.
             # Keep a host copy for the LOCAL eval extractor below (a jit over
             # global vars with this host's val images would mix addressable
@@ -201,7 +204,7 @@ def main(argv=None):
     # multihost eval runs each host's val stripe through a LOCAL extractor
     # (no collectives, so stripes need not stay in lockstep batch-for-batch)
     extract_eval = extract
-    if args.multihost:
+    if multihost:
         extract_eval = make_roi_extractor(
             unet, unet_vars_host, args.img_size, engine=use_engine, fused=False)
 
@@ -232,7 +235,7 @@ def main(argv=None):
             make_sharded_cls_train_step, replicate)
         from unet_goolenet_tpu.train.seg import TrainState
 
-        if args.multihost:
+        if multihost:
             state = mh.replicate_global(mesh, jax.device_get(state))
             lr_put = lambda v: mh.replicate_global(mesh, np.float32(v))
         else:
@@ -284,7 +287,7 @@ def main(argv=None):
         else:
             train_losses = []
             for batch in train_loader:
-                if args.multihost:
+                if multihost:
                     # this host's stripe of the global batch -> global arrays
                     imgs, labels = mh.global_batch(
                         mesh, (np.asarray(batch["image"]),
@@ -300,13 +303,13 @@ def main(argv=None):
                 rng, sub = jax.random.split(rng)
                 if crop_augment is not None:
                     rng, asub = jax.random.split(rng)
-                    if args.multihost:
+                    if multihost:
                         # keys are identical on every process (same seed, same
                         # split sequence); make the placement explicit so the
                         # global-array jits never mix in committed local arrays
                         asub = mh.replicate_global(mesh, np.asarray(asub))
                     crops = crop_augment(asub, crops)
-                if args.multihost:
+                if multihost:
                     sub = mh.replicate_global(mesh, np.asarray(sub))
                 state, metrics = train_step(state, crops, labels, se_out, sub)
                 train_losses.append(metrics["loss"])
@@ -317,7 +320,7 @@ def main(argv=None):
         # replicated state (keeps the jits single-process), then weight-average
         # losses/scores across processes so every host's plateau / early-stop /
         # best-checkpoint control flow stays identical
-        eval_state = jax.device_get(state) if args.multihost else state
+        eval_state = jax.device_get(state) if multihost else state
         val_losses = []
         for batch in val_loader:
             crops, _ = extract_eval(jnp.asarray(batch["image"]))
@@ -327,7 +330,7 @@ def main(argv=None):
             cls_metrics.update(logits, batch["cl_label"])
         val_loss = float(np.mean(val_losses))
         scores = cls_metrics.aggregate()
-        if args.multihost:
+        if multihost:
             w = float(len(val_ds))
             val_loss = mh.process_mean(val_loss, w)
             # confusion is COUNTS -> summed; the scalar scores are weight-
@@ -360,7 +363,7 @@ def main(argv=None):
             break
     print(f"done: best_val_loss={best_val_loss:.4f} best_acc={best_acc:.4f}",
           flush=True)
-    if args.multihost:
+    if multihost:
         # hold fast hosts until process 0 finishes checkpoint writes — an
         # early exit trips jax.distributed's shutdown barrier (multihost.sync)
         mh.sync("train_cls_done")
