@@ -101,6 +101,31 @@ def test_full_cli_chain(data_root, tmp_path):
     assert dev_lines == lines
 
 
+def test_main_dispatcher(capsys):
+    """`python -m unet_goolenet_tpu <command>` routes to the app CLIs (the
+    packaged replacement for the reference's four loose scripts)."""
+    from unet_goolenet_tpu.__main__ import main
+
+    with pytest.raises(SystemExit) as e:
+        main([])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    for cmd in ("train-seg", "predict-seg", "train-cls", "infer-e2e",
+                "serve", "export"):
+        assert cmd in out
+    with pytest.raises(SystemExit) as e:
+        main(["not-a-command"])
+    assert e.value.code == 2
+    # delegation reaches the app's argparse (its --help exits 0)
+    with pytest.raises(SystemExit) as e:
+        main(["train-seg", "--help"])
+    assert e.value.code == 0
+    assert "--multihost" in capsys.readouterr().out
+
+
 def test_size_buckets_cli(tmp_path, capsys):
     """--size-buckets bounds full-pipeline compiles on a mixed-resolution
     archive and grades identically to the exact-shape --device-preprocess path
