@@ -301,8 +301,11 @@ def test_flag_guards_fail_fast():
     """Flag combinations that would silently change what runs must error at
     parse time, before any model/checkpoint work (the train_seg
     --engine-forward/--data-parallel contract applied everywhere)."""
-    from unet_goolenet_tpu.apps import train_cls, infer_e2e
+    from unet_goolenet_tpu.apps import train_cls, train_seg, infer_e2e
 
+    with pytest.raises(SystemExit, match="divisible by the device count"):
+        train_seg.main(["--train-dir", "x", "--val-dir", "x",
+                        "--data-parallel", "--batch-size", "3"])
     with pytest.raises(SystemExit, match="even --img-size"):
         train_cls.main(["--train-dir", "x", "--val-dir", "x",
                         "--unet-checkpoint", "x",

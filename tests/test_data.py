@@ -177,3 +177,44 @@ class TestLoader:
         for _ in it:
             pass
         assert count[0] == 32
+
+
+def test_resize_bilinear_np_matches_cv2():
+    """The numpy INTER_LINEAR twin (datasets._resize_bilinear_np) that backs
+    wavelet_enhance_host on cv2-less installs must match cv2 on the upscales
+    the wavelet path performs (half-res coefficients -> full res)."""
+    import cv2
+
+    from unet_goolenet_tpu.data.datasets import _resize_bilinear_np
+
+    rng = np.random.default_rng(21)
+    for (h, w) in ((40, 48), (37, 51), (20, 20)):
+        src = rng.random((max(1, h // 2), max(1, w // 2))).astype(np.float32) * 255
+        ours = _resize_bilinear_np(src, (h, w))
+        ref = cv2.resize(src, (w, h), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-3)
+
+
+def test_wavelet_enhance_host_without_cv2(monkeypatch):
+    """wavelet_enhance_host must work on a clean `pip install .` (cv2 is only
+    the .[test] oracle extra) and agree with the cv2 path to uint8 rounding."""
+    import builtins
+    import sys
+
+    from unet_goolenet_tpu.data.datasets import wavelet_enhance_host
+
+    gray = (np.random.default_rng(5).random((41, 53)) * 255).astype(np.uint8)
+    with_cv2 = wavelet_enhance_host(gray)
+
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("cv2 hidden for the fallback test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.delitem(sys.modules, "cv2", raising=False)
+    monkeypatch.setattr(builtins, "__import__", no_cv2)
+    without_cv2 = wavelet_enhance_host(gray)
+    # uint8 quantisation after minmax-norm: allow off-by-one on boundary pixels
+    assert np.abs(with_cv2.astype(int) - without_cv2.astype(int)).max() <= 1

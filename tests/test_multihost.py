@@ -78,6 +78,11 @@ def test_stripe_host_logic():
         s0[3]
     with pytest.raises(ValueError):  # fewer items than processes: fail loud
         stripe(list(range(2)), index=0, count=3)
+    # even=False (val stripes): last process takes the tail, no sample dropped
+    v0 = stripe(ds, index=0, count=3, even=False)
+    v2 = stripe(ds, index=2, count=3, even=False)
+    assert len(v0) == 3 and len(v2) == 4
+    assert [v2[i] for i in range(4)] == [6, 7, 8, 9]
 
 
 def test_single_process_helpers_degrade():
@@ -267,27 +272,10 @@ def test_multihost_cli_train_cls(tmp_path):
 def test_two_process_dp_matches_single_process(tmp_path):
     port = _free_port()
     outs = [str(tmp_path / f"w{p}.json") for p in range(2)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, str(p), "2", str(port), outs[p]],
-            env=_worker_env(), cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
+    _run_pair(tmp_path, [
+        [sys.executable, WORKER, str(p), "2", str(port), outs[p]]
         for p in range(2)
-    ]
-    logs = []
-    try:
-        for proc in procs:
-            # generous: two concurrent UNet train-step compiles on one core
-            out, _ = proc.communicate(timeout=1800)
-            logs.append(out.decode(errors="replace"))
-    except subprocess.TimeoutExpired:
-        for proc in procs:
-            proc.kill()
-        pytest.fail("multihost workers timed out; partial logs:\n"
-                    + "\n".join(l[-2000:] for l in logs))
-    for proc, log in zip(procs, logs):
-        assert proc.returncode == 0, log[-4000:]
+    ])
 
     w0, w1 = (json.load(open(o)) for o in outs)
     # the replicated loss/params are identical on both hosts

@@ -41,9 +41,12 @@ def _usage() -> str:
 
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else list(argv)
-    if not argv or argv[0] in ("-h", "--help"):
+    if argv and argv[0] in ("-h", "--help"):
         print(_usage())
-        raise SystemExit(0 if argv else 2)
+        raise SystemExit(0)
+    if not argv:  # error path: usage on stderr like the unknown-command case
+        print(_usage(), file=sys.stderr)
+        raise SystemExit(2)
     cmd, rest = argv[0], argv[1:]
     if cmd not in COMMANDS:
         print(f"unknown command: {cmd}\n\n{_usage()}", file=sys.stderr)

@@ -29,7 +29,7 @@ from unet_goolenet_tpu.train.cls import (
     make_cls_train_step,
     make_cls_eval_step,
 )
-from unet_goolenet_tpu.train.seg import init_seg_state
+from unet_goolenet_tpu.train.seg import TrainState, init_seg_state
 from unet_goolenet_tpu.utils import seed_everything, MetricLogger
 
 
@@ -164,7 +164,7 @@ def main(argv=None):
         # per-process contiguous stripes, equalised so collective step counts
         # match across hosts (multihost.stripe docstring)
         train_ds = mh.stripe(train_ds)
-        val_ds = mh.stripe(val_ds)
+        val_ds = mh.stripe(val_ds, even=False)  # local eval: keep the tail
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
                               drop_last=mesh is not None)
     val_loader = DataLoader(val_ds, args.batch_size)
@@ -233,7 +233,6 @@ def main(argv=None):
     if mesh is not None:
         from unet_goolenet_tpu.parallel import (
             make_sharded_cls_train_step, replicate)
-        from unet_goolenet_tpu.train.seg import TrainState
 
         if multihost:
             state = mh.replicate_global(mesh, jax.device_get(state))
@@ -316,11 +315,14 @@ def main(argv=None):
             train_loss = float(jnp.mean(jnp.stack(train_losses)))
 
         cls_metrics = ClsMetrics(num_classes=args.num_classes)
-        # multihost: eval each host's val stripe locally on a host copy of the
-        # replicated state (keeps the jits single-process), then weight-average
+        # multihost: eval each host's val stripe locally on a local replica of
+        # the replicated state (keeps the jits single-process; pinned once per
+        # epoch so the tree is not re-uploaded per batch), then weight-average
         # losses/scores across processes so every host's plateau / early-stop /
         # best-checkpoint control flow stays identical
-        eval_state = jax.device_get(state) if multihost else state
+        eval_state = TrainState(params=mh.local_replica(state.params),
+                                batch_stats=mh.local_replica(state.batch_stats),
+                                opt_state=None) if multihost else state
         val_losses = []
         for batch in val_loader:
             crops, _ = extract_eval(jnp.asarray(batch["image"]))
@@ -331,16 +333,26 @@ def main(argv=None):
         val_loss = float(np.mean(val_losses))
         scores = cls_metrics.aggregate()
         if multihost:
+            from unet_goolenet_tpu.eval.metrics import macro_accuracy, macro_f1
+
             w = float(len(val_ds))
             val_loss = mh.process_mean(val_loss, w)
-            # confusion is COUNTS -> summed; the scalar scores are weight-
-            # averaged (NaN = undefined on this stripe -> weight 0)
-            cm = mh.process_sum(scores.pop("confusion"))
+            # confusion is COUNTS: sum it globally and recompute f1/accuracy
+            # EXACTLY from the global matrix (a weighted mean of per-stripe
+            # macro scores diverges whenever stripes see different class
+            # subsets, e.g. a class-ordered label.txt under contiguous
+            # striping). auroc is rank-based and not cm-recoverable, so it
+            # stays a weighted mean of the per-stripe values.
+            cm = mh.process_sum(scores["confusion"])
+            auroc = scores["auroc"]
             scores = {
-                k: mh.process_mean(0.0 if np.isnan(v) else float(v),
-                                   0.0 if np.isnan(v) else w)
-                for k, v in scores.items()}
-            scores["confusion"] = cm
+                "f1": macro_f1(cm),
+                "accuracy": macro_accuracy(cm),
+                "auroc": mh.process_mean(
+                    0.0 if np.isnan(auroc) else float(auroc),
+                    0.0 if np.isnan(auroc) else w),
+                "confusion": cm,
+            }
 
         plateau = optim.plateau_step(plateau, jnp.float32(train_loss))
         logger.log(epoch, train_loss=train_loss, val_loss=val_loss,

@@ -24,6 +24,7 @@ from unet_goolenet_tpu.parallel import multihost as mh
 from unet_goolenet_tpu.train import optim
 from unet_goolenet_tpu.train.checkpoint import CheckpointManager
 from unet_goolenet_tpu.train.seg import (
+    TrainState,
     init_seg_state,
     make_seg_train_step,
     make_seg_eval_step,
@@ -90,14 +91,34 @@ def main(argv=None):
     main_proc = mh.is_main()
     logger = MetricLogger(args.log_dir if main_proc else None, "train_seg")
 
+    if args.data_parallel and args.engine_forward:
+        # the packed engine train forward is only wired into the single-device
+        # branch below; silently ignoring the flag would misreport what ran
+        raise SystemExit(
+            "--engine-forward is a single-device path; it cannot be combined "
+            "with --data-parallel (the sharded step uses the flax forward)")
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        # multihost: --batch-size is per process, so the divisibility that
+        # makes the GLOBAL batch shardable is against the LOCAL device count
+        divisor = (jax.local_device_count() if args.multihost
+                   else mesh.shape["data"])
+        if args.batch_size % divisor:
+            raise SystemExit(f"--data-parallel: --batch-size {args.batch_size} "
+                             f"must be divisible by the device count {divisor}")
+    # on a single-device/single-process rig the flag is inert: every multihost
+    # code path below degrades to the plain single-device flow
+    multihost = args.multihost and mesh is not None
+
     rng_np = np.random.default_rng(args.seed)
     train_ds = SegDataset(args.train_dir, img_size=args.img_size, train=True, rng=rng_np)
     val_ds = SegDataset(args.val_dir, img_size=args.img_size, train=False)
-    if args.multihost:
+    if multihost:
         # per-process contiguous stripes, equalised so collective step counts
         # match across hosts (multihost.stripe docstring)
         train_ds = mh.stripe(train_ds)
-        val_ds = mh.stripe(val_ds)
+        val_ds = mh.stripe(val_ds, even=False)  # local eval: keep the tail
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               drop_last=args.data_parallel, seed=args.seed)
     val_loader = DataLoader(val_ds, args.batch_size)
@@ -116,15 +137,8 @@ def main(argv=None):
         state, _ = mgr.restore(args.warm_start, state)
         print(f"warm start from {args.warm_start}", flush=True)
 
-    if args.data_parallel and args.engine_forward:
-        # the packed engine train forward is only wired into the single-device
-        # branch below; silently ignoring the flag would misreport what ran
-        raise SystemExit(
-            "--engine-forward is a single-device path; it cannot be combined "
-            "with --data-parallel (the sharded step uses the flax forward)")
-    if args.data_parallel and len(jax.devices()) > 1:
-        mesh = make_mesh()
-        if args.multihost:
+    if mesh is not None:
+        if multihost:
             # global placement: device_put cannot reach other hosts' devices
             state = mh.replicate_global(mesh, jax.device_get(state))
             put = lambda b: mh.global_batch(mesh, b)
@@ -190,12 +204,15 @@ def main(argv=None):
 
         seg_metrics = SegMetrics(empty_pred_hack=True,
                                  compute_hausdorff=args.hausdorff)
-        # multihost: eval each host's val stripe locally (a host copy of the
-        # replicated state keeps the jit single-process — global params with
-        # local images would mix addressable and non-addressable arrays),
+        # multihost: eval each host's val stripe locally (a local replica of
+        # the replicated state keeps the jit single-process — global params
+        # with local images would mix addressable and non-addressable arrays;
+        # pinning it once per epoch avoids re-uploading the tree per batch),
         # then weight-average losses/scores across processes so every host's
         # plateau / early-stop / best-checkpoint control flow stays identical
-        eval_state = jax.device_get(state) if args.multihost else state
+        eval_state = TrainState(params=mh.local_replica(state.params),
+                                batch_stats=mh.local_replica(state.batch_stats),
+                                opt_state=None) if multihost else state
         val_losses = []
         for batch in val_loader:
             loss, masks = eval_step(eval_state, jnp.asarray(batch["image"]),
@@ -204,7 +221,7 @@ def main(argv=None):
             seg_metrics.update(masks, batch["se_label"])
         val_loss = float(np.mean(val_losses))
         scores = seg_metrics.aggregate()
-        if args.multihost:
+        if multihost:
             w = float(len(val_ds))
             val_loss = mh.process_mean(val_loss, w)
             scores = {  # NaN = undefined on this stripe -> weight 0
@@ -232,7 +249,7 @@ def main(argv=None):
             break
     print(f"done: best_val_loss={best_val_loss:.4f} best_dice={best_dice:.4f}",
           flush=True)
-    if args.multihost:
+    if multihost:
         # hold fast hosts until process 0 finishes checkpoint writes — an
         # early exit trips jax.distributed's shutdown barrier (multihost.sync)
         mh.sync("train_seg_done")

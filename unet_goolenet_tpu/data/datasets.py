@@ -43,11 +43,36 @@ def _imread(path: str, grayscale: bool) -> np.ndarray:
         return arr
 
 
+def _resize_bilinear_np(x: np.ndarray, out_hw) -> np.ndarray:
+    """numpy INTER_LINEAR twin (half-pixel bilinear, replicate-clamped) used
+    when cv2 is absent — cv2 is only the `.[test]` oracle extra, so a clean
+    `pip install .` must still run the wavelet preprocessing."""
+    oh, ow = out_hw
+    hh, ww = x.shape
+    ys = np.clip((np.arange(oh) + 0.5) * (hh / oh) - 0.5, 0, hh - 1)
+    xs = np.clip((np.arange(ow) + 0.5) * (ww / ow) - 0.5, 0, ww - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, hh - 1)
+    x1 = np.minimum(x0 + 1, ww - 1)
+    fy = (ys - y0).astype(np.float32)[:, None]
+    fx = (xs - x0).astype(np.float32)[None, :]
+    top = x[np.ix_(y0, x0)] * (1 - fx) + x[np.ix_(y0, x1)] * fx
+    bot = x[np.ix_(y1, x0)] * (1 - fx) + x[np.ix_(y1, x1)] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def wavelet_enhance_host(gray: np.ndarray) -> np.ndarray:
     """Host-side counterpart of ops.wavelet_enhance (分类/ROI_main.py:37-83):
     (H, W) uint8 -> (H, W, 3) uint8 pseudo-RGB. numpy implementation of the Haar
     block transform + cv2-semantics resize."""
-    import cv2
+    try:
+        import cv2
+
+        def _up(a, hw):
+            return cv2.resize(a, (hw[1], hw[0]), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        _up = _resize_bilinear_np
 
     g = gray.astype(np.float32)
     if g.max() <= 1.0:
@@ -65,8 +90,8 @@ def wavelet_enhance_host(gray: np.ndarray) -> np.ndarray:
     cV = (a_ - b_ + c_ - d_) * 0.5
     cD = (a_ - b_ - c_ + d_) * 0.5
     high = np.sqrt(cH ** 2 + cV ** 2 + cD ** 2)
-    low_up = cv2.resize(cA, (w, h), interpolation=cv2.INTER_LINEAR)
-    high_up = cv2.resize(high, (w, h), interpolation=cv2.INTER_LINEAR)
+    low_up = _up(cA, (h, w))
+    high_up = _up(high, (h, w))
 
     def norm(x):
         x = x - x.min()

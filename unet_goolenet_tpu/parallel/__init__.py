@@ -16,6 +16,7 @@ from unet_goolenet_tpu.parallel.multihost import (
     stripe,
     global_batch,
     replicate_global,
+    local_replica,
     process_mean,
     process_sum,
     sync,
@@ -29,6 +30,7 @@ __all__ = [
     "stripe",
     "global_batch",
     "replicate_global",
+    "local_replica",
     "process_mean",
     "process_sum",
     "sync",

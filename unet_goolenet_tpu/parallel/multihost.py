@@ -67,22 +67,30 @@ def is_main() -> bool:
 class stripe:
     """Contiguous per-process view of a dataset (torch DistributedSampler role,
     minus its wrap-around padding): process p of P sees items
-    [p*k, (p+1)*k) where k = len(ds)//P — equalised by dropping the tail
-    remainder so every process runs the same number of steps (unequal stripes
-    deadlock collective programs on the short hosts' last batch)."""
+    [p*k, (p+1)*k) where k = len(ds)//P.
+
+    even=True (default, TRAIN stripes) drops the tail remainder so every
+    process runs the same number of steps — unequal stripes deadlock
+    collective programs on the short hosts' last batch. even=False (VAL
+    stripes) gives the tail to the LAST process so no sample is silently
+    excluded from metrics: val eval is local (no collectives) and
+    process_mean's weights already handle unequal stripe sizes."""
 
     def __init__(self, dataset, index: Optional[int] = None,
-                 count: Optional[int] = None):
+                 count: Optional[int] = None, even: bool = True):
         self.dataset = dataset
         self.count = jax.process_count() if count is None else count
         self.index = jax.process_index() if index is None else index
-        self._len = len(dataset) // self.count
-        if self._len == 0:
+        base = len(dataset) // self.count
+        if base == 0:
             raise ValueError(
                 f"dataset of {len(dataset)} items cannot be striped over "
                 f"{self.count} processes (every process would see 0 items "
                 "and the train/val loops would silently produce NaN means)")
-        self._start = self.index * self._len
+        self._start = self.index * base
+        self._len = base
+        if not even and self.index == self.count - 1:
+            self._len = len(dataset) - self._start
 
     def __len__(self) -> int:
         return self._len
@@ -128,6 +136,16 @@ def sync(name: str, timeout_s: int = 1800) -> None:
     from jax._src import distributed
 
     distributed.global_state.client.wait_at_barrier(name, timeout_s * 1000)
+
+
+def local_replica(tree: Any) -> Any:
+    """Host-fetch a (fully-replicated) global tree and pin it on this host's
+    first device, so local non-collective jits (the per-stripe val eval) can
+    consume it without mixing in non-addressable arrays — and without
+    re-uploading the tree on every call, which a raw host-numpy copy would."""
+    dev = jax.local_devices()[0]
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), dev), tree)
 
 
 def process_sum(value) -> np.ndarray:
