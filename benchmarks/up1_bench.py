@@ -63,7 +63,7 @@ def gate_chain(x_p, x1_p, ws, c, tile_rows=None):
 def main_kernel_chain(x_p, x1_p, ws, c, tile_rows=None):
     """The big kernel alone, gate pass replaced by cheap stand-ins (e1 := x1,
     gate := 1.5) — isolates the main kernel's time."""
-    gate_p1 = jnp.full((x_p.shape[0], 4 * c), 1.5, x_p.dtype)
+    gate_p1 = jnp.full((x_p.shape[0], 2 * c), 1.5, x_p.dtype)
     return pk.fused_up1_outc(x_p, x1_p, gate_p1,
         ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"], ws["w_pair"], ws["b_pair"],
         ws["w_blk1"], ws["b_blk1"], ws["w_outc"], ws["b_outc"],

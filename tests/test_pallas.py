@@ -475,3 +475,69 @@ class TestFusedDown1:
         got = engine.unet_forward_packed(v, x, fused_down1=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestTileGeometryGuards:
+    """Unsupported level geometries must fall back to XLA — a tile smaller
+    than the DMA halo makes _halo_branches compute a negative source row
+    start for interior tiles (silently corrupt rows on chip, or a wedged
+    worker). pick_tile enforces tile >= halo; the engine gates each fused
+    level on the *_supported predicates."""
+
+    def test_pick_tile_enforces_halo_floor(self):
+        from unet_goolenet_tpu.ops.pallas import up1 as U
+        # 226 rows: only 2 divides from the candidate list, and 2 < min 4
+        assert U.pick_tile(226, U.UP1_TILES, min_tile=4, even=True) is None
+        # a single-tile grid (tile == h) takes the whole-array branch
+        assert U.pick_tile(2, U.UP1_TILES, min_tile=4, even=True) == 2
+        assert U.pick_tile(224, U.UP1_TILES, min_tile=4, even=True) == 56
+
+    def test_supported_predicates(self):
+        from unet_goolenet_tpu.ops.pallas.down1 import down1_supported
+        from unet_goolenet_tpu.ops.pallas.up1 import up1_supported
+        from unet_goolenet_tpu.ops.pallas.up2 import up_level_supported
+        assert up1_supported(224)
+        assert up_level_supported(112)
+        assert down1_supported(112)
+        assert not up1_supported(226)        # h = 2 mod 4 -> tile 2 < halo
+        assert not up1_supported(225)        # odd
+        # 240 and 144 are legal UNet sizes (divisible by 16) whose up4
+        # level lands on 2-mod-4 heights — the real-world trap
+        assert not up_level_supported(30)    # 240 // 8
+        assert not up_level_supported(18)    # 144 // 8
+        assert not down1_supported(113)
+
+    def test_launchers_raise_clear_errors(self):
+        from unet_goolenet_tpu.ops.pallas.down1 import fused_pool_down1
+        from unet_goolenet_tpu.ops.pallas.up1 import fused_up1_outc
+        c = 8
+        x_p = rand(1, 13, 4, 2 * c)          # up1 level h = 26: no tile
+        e1_p = rand(1, 26, 8, 2 * c)
+        args = (x_p, e1_p, jnp.ones((1, 2 * c)),
+                rand(2, 2, c, c), rand(c), rand(3, 3, c, c), rand(c),
+                rand(3, 3, 2 * c, c), rand(c), rand(3, 3, c, c), rand(c),
+                rand(c, 1), rand(1))
+        with pytest.raises(ValueError, match="no valid row tile"):
+            fused_up1_outc(*args)
+        with pytest.raises(ValueError, match="no valid row tile"):
+            fused_up1_outc(*args, tile_rows=2)   # explicit tile < halo
+        xd = rand(1, 2 * 13, 4, 2 * c)       # pooled h = 13: odd
+        with pytest.raises(ValueError, match="no valid row tile"):
+            fused_pool_down1(xd, rand(3, 3, c, 2 * c), rand(2 * c),
+                             rand(3, 3, 2 * c, 2 * c), rand(2 * c))
+
+    def test_engine_falls_back_on_unsupported_level(self):
+        """img 48: the up4 level lands on h=6 (tile 2 < halo) so fused_up34
+        must silently fall back to XLA while up1/up2/down1 stay fused —
+        output identical to the plain packed forward."""
+        from unet_goolenet_tpu.models import UNetTaskAligWeight
+        from unet_goolenet_tpu.pipeline import engine
+
+        model = UNetTaskAligWeight(n_classes=1)
+        x = jnp.asarray(RNG.standard_normal((1, 48, 48, 3)).astype(np.float32))
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        ref = engine.unet_forward_packed(v, x)
+        got = engine.unet_forward_packed(v, x, fused_up1=True, fused_up2=True,
+                                         fused_up34=True, fused_down1=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -238,7 +238,7 @@ def main(argv=None):
             state = mh.replicate_global(mesh, jax.device_get(state))
             lr_put = lambda v: mh.replicate_global(mesh, np.float32(v))
         else:
-            state = TrainState(*(replicate(mesh, part) for part in state))
+            state = replicate(mesh, state)
             lr_put = lambda v: v
         train_step = make_sharded_cls_train_step(model, tx, mesh,
                                                  aux_weight=args.aux_weight)

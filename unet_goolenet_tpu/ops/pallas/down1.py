@@ -30,7 +30,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from unet_goolenet_tpu.ops.pallas import up1 as _up1
-from unet_goolenet_tpu.ops.pallas.up1 import _halo_start, _halo_wait, _row_mask
+from unet_goolenet_tpu.ops.pallas.up1 import (
+    _halo_start, _halo_wait, _row_mask, pick_tile,
+)
+
+# candidate tiles + min_tile implied by the halo copy: the kernel DMAs the
+# packed input with (tile=2*th, halo=4) -> th >= 2 (up1.pick_tile docs)
+DOWN1_TILES = (28, 14, 8, 4, 2)
+DOWN1_MIN_TILE = 2
+
+
+def down1_supported(h_pooled: int) -> bool:
+    """True when fused_pool_down1 has a valid row tile for an h_pooled-row
+    (post-pool) output."""
+    return pick_tile(h_pooled, DOWN1_TILES,
+                     min_tile=DOWN1_MIN_TILE) is not None
 from unet_goolenet_tpu.ops.pallas.up2 import _cat9, _lr, make_cat9_weights
 
 
@@ -106,12 +120,15 @@ def fused_pool_down1(x1_p: jax.Array, w1: jax.Array, b1: jax.Array,
     dtype = x1_p.dtype
 
     if tile_rows is None:
-        for t in (28, 14, 8, 4, 2, 1):
-            if h % t == 0:
-                tile_rows = t
-                break
+        tile_rows = pick_tile(h, DOWN1_TILES, min_tile=DOWN1_MIN_TILE)
     th = tile_rows
-    assert h % th == 0, (h, th)
+    if (th is None or h % th != 0
+            or (th < DOWN1_MIN_TILE and th != h)):
+        raise ValueError(
+            f"fused_pool_down1: no valid row tile for pooled h={h} "
+            f"(tile_rows={tile_rows}; need dividing h and >= "
+            f"{DOWN1_MIN_TILE} for the x-halo DMA (tile=2*th, halo=4) "
+            f"unless tile == h); use the XLA path")
 
     w1c = make_cat9_weights(w1, dtype)               # (9c, co)
     w2c = make_cat9_weights(w2, dtype)               # (9co, co)

@@ -68,6 +68,46 @@ _INTERPRET = False  # flipped by tests on CPU
 _ABLATE: frozenset = frozenset()
 
 
+# ------------------------------------------------------------ tile picking
+
+
+def pick_tile(h: int, candidates, *, min_tile: int = 1,
+              even: bool = False):
+    """Largest candidate row-tile that divides `h` AND satisfies the DMA-halo
+    constraint: the interior branches of `_halo_branches` read the window
+    [i*tile - halo, ...) of the source buffer, so `tile >= halo` (expressed
+    here as `tile >= min_tile` in the picker's units) or the copy start goes
+    negative — a clamped/out-of-bounds DMA that silently corrupts rows (or
+    wedges the TPU worker). A single-tile grid (`tile == h`) takes the
+    dedicated whole-array branch and is exempt. Returns None when no
+    candidate is valid; launchers raise and callers keep the XLA path
+    (pipeline/engine.py gates each fused level on the *_supported helpers)."""
+    for t in candidates:
+        if h % t != 0 or (even and t % 2):
+            continue
+        if t >= min_tile or t == h:
+            return t
+    return None
+
+
+# candidate tiles per kernel (largest-first; 56 measured best for up1 on the
+# v5e, benchmarks/up1_bench.py sweep) and the min_tile implied by each
+# kernel's halo copies: fused_up1_outc DMAs the packed x input with
+# (tile=th//2, halo=2) -> th >= 4; the gate pass uses (th, halo=1) -> any th.
+UP1_TILES = (56, 28, 16, 14, 8, 4, 2)
+UP1_MIN_TILE = 4
+GATE_TILES = (56, 32, 28, 16, 8, 4, 2, 1)
+
+
+def up1_supported(h: int) -> bool:
+    """True when the fused up1+outc kernel has a valid row tile for an
+    h-row output level (even h with a tile >= the DMA halo)."""
+    return (h % 2 == 0
+            and pick_tile(h, UP1_TILES, min_tile=UP1_MIN_TILE,
+                          even=True) is not None
+            and pick_tile(h, GATE_TILES) is not None)
+
+
 # ------------------------------------------------------------ weight prep
 
 
@@ -446,10 +486,11 @@ def fused_cbn_stats(x_p: jax.Array, w: jax.Array, b: jax.Array,
         # biggest divisor tile first: the ablation bench measured the th=16
         # grid (896 steps at batch 64) at ~27% MXU from per-step overheads
         # alone; 56-row tiles run the same conv at ~4x fewer steps
-        for t in (56, 32, 28, 16, 8, 4, 2, 1):
-            if h % t == 0:
-                th = t
-                break
+        th = pick_tile(h, GATE_TILES)
+    if th is None or h % th != 0:
+        raise ValueError(
+            f"fused_cbn_stats: no valid row tile for h={h} "
+            f"(tile_rows={tile_rows}); use the XLA path")
 
     wcat = make_cat_weights(w, dtype)
     bias = jnp.tile(b.astype(jnp.float32), 2)[None]       # (1, 2C)
@@ -496,12 +537,15 @@ def fused_up1_outc(x_p: jax.Array, e1_p: jax.Array, gate_p1: jax.Array,
     if tile_rows is None:
         # 56-row tiles measured best on the v5e (benchmarks/up1_bench.py
         # sweep); the raised vmem_limit makes them compile
-        for t in (56, 28, 16, 14, 8, 4, 2):
-            if h % t == 0:
-                tile_rows = t
-                break
+        tile_rows = pick_tile(h, UP1_TILES, min_tile=UP1_MIN_TILE, even=True)
     th = tile_rows
-    assert h % th == 0 and th % 2 == 0, (h, th)
+    if (th is None or h % th != 0 or th % 2 != 0
+            or (th < UP1_MIN_TILE and th != h)):
+        raise ValueError(
+            f"fused_up1_outc: no valid row tile for h={h} "
+            f"(tile_rows={tile_rows}; need even, dividing h, and >= "
+            f"{UP1_MIN_TILE} for the x-halo DMA unless tile == h); "
+            f"use the XLA path")
 
     wd0, wd1 = make_deconv_weights(w_up.astype(dtype))
     wd = jnp.stack([wd0, wd1])

@@ -45,6 +45,22 @@ from unet_goolenet_tpu.ops.pallas.up1 import (
 )
 from unet_goolenet_tpu.ops.pallas import up1 as _up1
 
+# candidate tiles + the min_tile implied by the halo copies (the kernel DMAs
+# the x input with (tile=th//2, halo=2) -> th >= 4, same shape as up1's;
+# see up1.pick_tile for the constraint's derivation)
+UP_TILES = (28, 14, 8, 4, 2)
+UP_MIN_TILE = 4
+GATE_TILES_DENSE = (56, 28, 16, 14, 8, 4, 2, 1)
+
+
+def up_level_supported(h: int) -> bool:
+    """True when the fused decoder-level kernel (fused_up2/fused_up_dense)
+    has a valid row tile for an h-row OUTPUT level."""
+    return (h % 2 == 0
+            and _up1.pick_tile(h, UP_TILES, min_tile=UP_MIN_TILE,
+                               even=True) is not None
+            and _up1.pick_tile(h, GATE_TILES_DENSE) is not None)
+
 
 # ------------------------------------------------------------ weight prep
 
@@ -103,10 +119,11 @@ def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
     dtype = x.dtype
     th = tile_rows
     if th is None:
-        for t in (56, 28, 16, 14, 8, 4, 2, 1):
-            if h % t == 0:
-                th = t
-                break
+        th = _up1.pick_tile(h, GATE_TILES_DENSE)
+    if th is None or h % th != 0:
+        raise ValueError(
+            f"fused_cbn_stats_dense: no valid row tile for h={h} "
+            f"(tile_rows={tile_rows}); use the XLA path")
 
     wcat = make_cat9_weights(w, dtype)
     bias = b.astype(jnp.float32)[None]            # (1, C)
@@ -270,12 +287,16 @@ def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
     dtype = x.dtype
 
     if tile_rows is None:
-        for t in (28, 14, 8, 4, 2):
-            if h % t == 0:
-                tile_rows = t
-                break
+        tile_rows = _up1.pick_tile(h, UP_TILES, min_tile=UP_MIN_TILE,
+                                   even=True)
     th = tile_rows
-    assert h % th == 0 and th % 2 == 0, (h, th)
+    if (th is None or h % th != 0 or th % 2 != 0
+            or (th < UP_MIN_TILE and th != h)):
+        raise ValueError(
+            f"fused up level: no valid row tile for h={h} "
+            f"(tile_rows={tile_rows}; need even, dividing h, and >= "
+            f"{UP_MIN_TILE} for the x-halo DMA unless tile == h); "
+            f"use the XLA path")
 
     wd0, wd1 = make_dense_deconv_weights(w_up.astype(dtype))
     wd = jnp.stack([wd0, wd1])

@@ -178,8 +178,22 @@ def make_sharded_pipeline(pipeline, mesh: Mesh, *, source: str = "gray"):
             out_shardings=data,
         )
 
+    # Pin the replicated var trees ONCE (re-pinned only if the pipeline's
+    # trees are swapped): passing pipeline.unet_vars (uncommitted,
+    # single-device) straight into the jit would re-broadcast the full
+    # weights across the mesh on EVERY call — tens of MB per micro-batch on
+    # the serving hot path. Same identity-keyed cache as pp.make_pp_pipeline.
+    put = lambda tree: jax.device_put(tree, rep)
+    pinned = {}
+
     def run(*batch_args):
+        src = (pipeline.unet_vars, pipeline.gnet_vars)
+        cached = pinned.get("src")
+        if cached is None or cached[0] is not src[0] or cached[1] is not src[1]:
+            pinned["src"] = src
+            pinned["vars"] = (put(src[0]), put(src[1]))
+        uv, gv = pinned["vars"]
         batch_args = tuple(jnp.asarray(b) for b in batch_args)
-        return fn(pipeline.unet_vars, pipeline.gnet_vars, *batch_args)
+        return fn(uv, gv, *batch_args)
 
     return run

@@ -386,7 +386,14 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
 
     # pool straight out of the packed layout into the dense 112^2 tensor
     # (rows-only reduce_window + lane-half max); down1 onward runs dense
-    if fused_down1 and hh % 2 == 0:
+    # each fused level gates on its kernel's *_supported predicate (not just
+    # top-level evenness): an unsupported geometry must stay on the XLA path
+    # rather than launch a kernel whose halo DMA would read out of bounds
+    from unet_goolenet_tpu.ops.pallas.down1 import down1_supported
+    from unet_goolenet_tpu.ops.pallas.up1 import up1_supported
+    from unet_goolenet_tpu.ops.pallas.up2 import up_level_supported
+
+    if fused_down1 and hh % 2 == 0 and down1_supported(hh // 2):
         from unet_goolenet_tpu.ops.pallas.down1 import fused_pool_down1
         d = t["down1"]["nConvs"]
         ds = ts["down1"]["nConvs"]
@@ -403,7 +410,9 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
         feats.append(h)
 
     _, out0 = _transformer(feats[3], feats[3], p["task2"], s["task2"])
-    if fused_up34 and hh % 2 == 0:
+    if (fused_up34 and hh % 2 == 0
+            and up_level_supported(2 * out0.shape[1])
+            and up_level_supported(4 * out0.shape[1])):
         y = _up_fused(out0, feats[2], p["up4"], s["up4"], dtype,
                       packed_out=False)
         y = _up_fused(y, feats[1], p["up3"], s["up3"], dtype,
@@ -413,7 +422,7 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
         y = _up_alig(y, feats[1], p["up3"], s["up3"])
 
     # up2: cca runs at 128ch (dense); the two output convs emit packed 64ch
-    if fused_up2 and hh % 2 == 0:
+    if fused_up2 and hh % 2 == 0 and up_level_supported(2 * y.shape[1]):
         y_p = _up2_fused(y, feats[0], p["up2"], s["up2"], dtype)
     else:
         up = ops.conv_transpose2x2(y, p["up2"]["up"]["kernel"].astype(dtype),
@@ -430,7 +439,7 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
                       s["up2"]["nConvs"]["block1"], dtype)
 
     # up1: fully packed (skip x1 never left packed layout)
-    if fused_up1 and hh % 2 == 0:
+    if fused_up1 and hh % 2 == 0 and up1_supported(2 * y_p.shape[1]):
         return P.unpack(unet_forward_packed_tail_fused(variables, y_p, x1_p,
                                                        dtype))
     y_p = _up_alig_p(y_p, x1_p, p["up1"], s["up1"], dtype)

@@ -97,7 +97,11 @@ class MicroBatcher:
         # either lands BEFORE the sentinel (graded in-flight) or gets the fast
         # RuntimeError — never a stranded _Pending waiting out grade_timeout_s
         self._close_lock = threading.Lock()
-        # bounded metrics: a long-lived server must not grow per device call
+        # bounded metrics: a long-lived server must not grow per device call.
+        # _stats_lock orders dispatcher updates against stats() reads (a
+        # healthz snapshot iterating call_ms/batch_hist while the dispatcher
+        # mutates them would raise "mutated during iteration")
+        self._stats_lock = threading.Lock()
         self.device_calls = 0             # batches dispatched
         self.images_total = 0             # real (unpadded) images graded
         self.batch_hist: Counter = Counter()      # real batch size -> count
@@ -166,19 +170,23 @@ class MicroBatcher:
         """Serving metrics snapshot. Latency percentiles cover the last
         len(call_ms)<=4096 device calls (incl. compile-heavy first calls);
         counters cover the whole lifetime at O(1) memory."""
-        ms = sorted(self.call_ms)
+        with self._stats_lock:
+            ms = sorted(self.call_ms)
+            calls = self.device_calls
+            images = self.images_total
+            hist = dict(self.batch_hist)
 
         def pct(p):
             return round(ms[min(len(ms) - 1, int(p * len(ms)))], 2) if ms else None
 
         return {
-            "device_calls": self.device_calls,
-            "images": self.images_total,
+            "device_calls": calls,
+            "images": images,
             "call_ms_p50": pct(0.50),
             "call_ms_p99": pct(0.99),
             "call_ms_max": round(ms[-1], 2) if ms else None,
             "batch_size_histogram": {
-                str(s): c for s, c in sorted(self.batch_hist.items())},
+                str(s): c for s, c in sorted(hist.items())},
         }
 
     # -- dispatcher ---------------------------------------------------------
@@ -217,10 +225,11 @@ class MicroBatcher:
                     real = np.concatenate([real, pad])
                 t0 = time.monotonic()
                 grades = np.asarray(self._grade_fn(real))
-                self.call_ms.append((time.monotonic() - t0) * 1e3)
-                self.device_calls += 1
-                self.images_total += n
-                self.batch_hist[n] += 1
+                with self._stats_lock:
+                    self.call_ms.append((time.monotonic() - t0) * 1e3)
+                    self.device_calls += 1
+                    self.images_total += n
+                    self.batch_hist[n] += 1
                 for p, g in zip(items, grades[:n]):
                     p.grade = int(g)
                     p.event.set()
@@ -257,7 +266,14 @@ class GradingServer:
     # -- request handling ---------------------------------------------------
 
     def _grade_npy(self, body: bytes) -> list[int]:
-        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        try:
+            arr = np.load(io.BytesIO(body), allow_pickle=False)
+        except Exception as e:   # malformed body is the CLIENT's fault: 400
+            raise ValueError(f"body is not a valid .npy array: {e}") from e
+        if not isinstance(arr, np.ndarray):   # e.g. .npz bytes -> NpzFile
+            raise ValueError("body must be a single .npy array, not "
+                             f"{type(arr).__name__} (.npz archives are not "
+                             "accepted)")
         nd = len(self._expect_shape) if self._expect_shape else 2
         if arr.ndim == nd:
             arr = arr[None]
@@ -288,8 +304,6 @@ class GradingServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._send(200, {"ok": True, "meta": server_self.meta,
-                                     "device_calls":
-                                         server_self.batcher.device_calls,
                                      **server_self.batcher.stats()})
                 else:
                     self._send(404, {"error": "not found"})
