@@ -33,6 +33,7 @@ from unet_goolenet_tpu.ops.pallas import up1 as _up1
 from unet_goolenet_tpu.ops.pallas.up1 import (
     _halo_start, _halo_wait, _row_mask, pick_tile,
 )
+from unet_goolenet_tpu.ops.pallas.up2 import _cat9, _lr, make_cat9_weights
 
 # candidate tiles + min_tile implied by the halo copy: the kernel DMAs the
 # packed input with (tile=2*th, halo=4) -> th >= 2 (up1.pick_tile docs)
@@ -45,7 +46,6 @@ def down1_supported(h_pooled: int) -> bool:
     (post-pool) output."""
     return pick_tile(h_pooled, DOWN1_TILES,
                      min_tile=DOWN1_MIN_TILE) is not None
-from unet_goolenet_tpu.ops.pallas.up2 import _cat9, _lr, make_cat9_weights
 
 
 def _pool_down1_kernel(x_ref, w1_ref, w2_ref, bias_ref, out_ref, xbuf, sems,
