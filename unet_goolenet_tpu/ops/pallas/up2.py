@@ -40,8 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from unet_goolenet_tpu.ops.pallas.up1 import (
-    _build_u, _cat6, _halo_start, _halo_wait, _row_mask, _sel_masks,
-    make_cat_weights,
+    _halo_start, _halo_wait, _row_mask,
 )
 from unet_goolenet_tpu.ops.pallas import up1 as _up1
 
@@ -145,12 +144,11 @@ def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
 
 def _up2_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wpg_ref,
                 wblk1_ref, bias_ref, bpair_ref, out_ref, xbuf, e1buf, sems,
-                *, th, h, wp, c, cq, dtype, packed_out):
-    """One (image, row-tile) step: deconv -> d2 -> gate -> pair ->
-    [repack ->] block1, all VMEM-resident. wp = dense width, c = dense
-    channels, cq = pair-conv output channels. packed_out=True emits the 64ch
-    pixel-packed layout (up2); False keeps block1 dense (up3/up4, where cq
-    >= 128 already fills the lanes)."""
+                *, th, h, wp, c, cq, dtype):
+    """One (image, row-tile) step: deconv -> d2 -> gate -> pair -> block1,
+    all VMEM-resident, dense output. wp = dense width, c = dense channels,
+    cq = block1 output channels (64 for up2 — packed by the wrapper's XLA
+    epilogue; >= 128 for up3/up4, already lane-filling)."""
     ni = pl.program_id(0)
     i = pl.program_id(1)
     n_im = pl.num_programs(0)
@@ -218,29 +216,19 @@ def _up2_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wpg_ref,
     acc = jnp.maximum(acc + bpair_ref[0][None, :], 0.0)
     acc = acc * m_full[3 * wp:(3 + n_h) * wp]
 
-    if packed_out:
-        # repack to the 64ch pixel-packed layout: (n_h, wp, cq) -> (n_h,
-        # wp/2, 2cq); built from the f32 accumulator so blk1's U build needs
-        # no upcast. block1 then runs in up1's packed S/U form.
-        hhf = acc.reshape(n_h, wp // 2, 2 * cq)
-        hh = hhf.astype(dtype)
-        wq = wp // 2
-        cq2 = 2 * cq
-        sel_a, sel_b = _sel_masks(wq, cq2)
-        u_hh = _build_u(hhf, sel_a, sel_b, dtype)
-        cat = _cat6(hh, u_hh, th, 0, wq, cq2)
-        acc = jnp.dot(cat, wblk1_ref[:], preferred_element_type=jnp.float32)
-        y = jnp.maximum(acc + bias_ref[2][None, :cq2], 0.0)
-        out_ref[0] = y.reshape(th, wq, cq2).astype(out_ref.dtype)
-    else:
-        # dense block1 (cq >= 128 fills the lanes): cat9 like the others
-        hhf = acc.reshape(n_h, wp, cq)
-        hh = hhf.astype(dtype)
-        hl, hr = _lr(hhf, wp, dtype)
-        cat = _cat9(hh, hl, hr, th, 0, wp, cq)
-        acc = jnp.dot(cat, wblk1_ref[:], preferred_element_type=jnp.float32)
-        y = jnp.maximum(acc + bias_ref[2][None, :cq], 0.0)
-        out_ref[0] = y.reshape(th, wp, cq).astype(out_ref.dtype)
+    # dense block1 for BOTH output modes (cq >= 128 fills the lanes for
+    # up3/up4; up2's cq=64 half-fills them, but the in-kernel dense->packed
+    # repack `(n_h*wp, cq) -> (n_h, wp/2, 2cq)` is a lane-merging shape cast
+    # Mosaic cannot lower — measured compile failure on the v5e 2026-08-19;
+    # interpret mode accepted it. The packed layout for up2 is produced by an
+    # XLA pack epilogue in the wrapper instead (exact channels-minor reshape).
+    hhf = acc.reshape(n_h, wp, cq)
+    hh = hhf.astype(dtype)
+    hl, hr = _lr(hhf, wp, dtype)
+    cat = _cat9(hh, hl, hr, th, 0, wp, cq)
+    acc = jnp.dot(cat, wblk1_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc + bias_ref[2][None, :cq], 0.0)
+    out_ref[0] = y.reshape(th, wp, cq).astype(out_ref.dtype)
 
 
 def fused_up2(x: jax.Array, e1: jax.Array, gate_p1: jax.Array,
@@ -304,19 +292,11 @@ def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
                             make_cat9_weights(w_pair[:, :, :c], dtype)],
                            axis=1)                   # (9C, C+cq)
     wpg = make_cat9_weights(w_pair[:, :, c:], dtype)  # (9C, cq)
-    if packed_out:
-        wblk1 = make_cat_weights(w_blk1, dtype)       # (6*2cq, 2cq)
-        b1 = jnp.tile(b_blk1.astype(jnp.float32), 2)
-        out_spec = pl.BlockSpec((1, th, wp // 2, 2 * cq),
-                                lambda ni, i: (ni, i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((n, h, wp // 2, 2 * cq), dtype)
-    else:
-        wblk1 = make_cat9_weights(w_blk1, dtype)      # (9cq, cq)
-        b1 = b_blk1.astype(jnp.float32)
-        out_spec = pl.BlockSpec((1, th, wp, cq), lambda ni, i: (ni, i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((n, h, wp, cq), dtype)
+    wblk1 = make_cat9_weights(w_blk1, dtype)          # (9cq, cq)
+    b1 = b_blk1.astype(jnp.float32)
+    out_spec = pl.BlockSpec((1, th, wp, cq), lambda ni, i: (ni, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, h, wp, cq), dtype)
     biases = jnp.stack([
         b_d2.astype(jnp.float32),
         jnp.zeros((c,), jnp.float32),                 # unused slot
@@ -328,9 +308,8 @@ def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
     gate = gate_p1.astype(dtype)[:, None, :]          # (N, 1, C)
 
     kernel = functools.partial(
-        _up2_kernel, th=th, h=h, wp=wp, c=c, cq=cq, dtype=dtype,
-        packed_out=packed_out)
-    return pl.pallas_call(
+        _up2_kernel, th=th, h=h, wp=wp, c=c, cq=cq, dtype=dtype)
+    y = pl.pallas_call(
         kernel,
         grid=(n, h // th),
         in_specs=[
@@ -364,3 +343,9 @@ def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
         ),
         interpret=_up1._INTERPRET,
     )(x, e1, gate, wd, wup2, wpg, wblk1, biases, bpair)
+    if packed_out:
+        # XLA pack epilogue (exact channels-minor reshape, ops/packed.pack):
+        # the in-kernel repack is a Mosaic-unsupported lane-merging cast
+        from unet_goolenet_tpu.ops import packed as _P
+        return _P.pack(y)
+    return y
