@@ -143,7 +143,8 @@ def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
 
 
 def _up2_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wpg_ref,
-                wblk1_ref, bias_ref, bpair_ref, out_ref, xbuf, e1buf, sems,
+                wblk1_ref, bias_ref, bpair_ref, b1_ref, out_ref, xbuf, e1buf,
+                sems,
                 *, th, h, wp, c, cq, dtype):
     """One (image, row-tile) step: deconv -> d2 -> gate -> pair -> block1,
     all VMEM-resident, dense output. wp = dense width, c = dense channels,
@@ -188,7 +189,7 @@ def _up2_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wpg_ref,
     upf = jnp.stack([o0, o1], axis=1).reshape(2 * rx, wp, c)
     m_full = _row_mask(2 * rx, a - 4, h, wp)
     upm = m_full.reshape(2 * rx, wp, 1)
-    upf = upf + bias_ref[3][None, None, :] * upm
+    upf = upf + bias_ref[1][None, None, :] * upm
     up = upf.astype(dtype)
     upl, upr = _lr(upf, wp, dtype)                   # shared by d2 + pair
 
@@ -227,7 +228,11 @@ def _up2_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wpg_ref,
     hl, hr = _lr(hhf, wp, dtype)
     cat = _cat9(hh, hl, hr, th, 0, wp, cq)
     acc = jnp.dot(cat, wblk1_ref[:], preferred_element_type=jnp.float32)
-    y = jnp.maximum(acc + bias_ref[2][None, :cq], 0.0)
+    # b1 rides its own exact-width (1, cq) input: a partial 1D slice of the
+    # shared (rows, c) bias stack (`bias_ref[2][None, :cq]`) lowers to a 1D
+    # gather, which Mosaic rejects ("Only 2D gather is supported" — measured
+    # on-chip 2026-08-19); full-width slices of exact-width refs lower clean
+    y = jnp.maximum(acc + b1_ref[0][None, :], 0.0)
     out_ref[0] = y.reshape(th, wp, cq).astype(out_ref.dtype)
 
 
@@ -299,11 +304,10 @@ def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
     out_shape = jax.ShapeDtypeStruct((n, h, wp, cq), dtype)
     biases = jnp.stack([
         b_d2.astype(jnp.float32),
-        jnp.zeros((c,), jnp.float32),                 # unused slot
-        jnp.pad(b1, (0, max(0, c - b1.shape[0]))),
         b_up.astype(jnp.float32),
-    ])                                                # (4, C)
+    ])                                                # (2, C)
     bpair = b_pair.astype(jnp.float32)[None]          # (1, cq)
+    b1 = b1[None]                                     # (1, cq)
 
     gate = gate_p1.astype(dtype)[:, None, :]          # (N, 1, C)
 
@@ -325,7 +329,9 @@ def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(wblk1.shape, lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, c), lambda ni, i: (0, 0),
+            pl.BlockSpec((2, c), lambda ni, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cq), lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cq), lambda ni, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -342,7 +348,7 @@ def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_up1._INTERPRET,
-    )(x, e1, gate, wd, wup2, wpg, wblk1, biases, bpair)
+    )(x, e1, gate, wd, wup2, wpg, wblk1, biases, bpair, b1)
     if packed_out:
         # XLA pack epilogue (exact channels-minor reshape, ops/packed.pack):
         # the in-kernel repack is a Mosaic-unsupported lane-merging cast
