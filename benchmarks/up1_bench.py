@@ -264,6 +264,46 @@ def run_parity_prod(batch=2):
           flush=True)
 
 
+def run_parity_lvl(mode, batch=2):
+    """On-chip bf16 parity for the round-3 fused kernels (up2/up3/up4/down1)
+    vs their XLA chains at production shapes — the gate before a
+    TwoStagePipeline fused_* default flips on."""
+    dt = jnp.bfloat16
+    if mode == "parityd1":
+        c, co = 64, 128
+        r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.1
+        ws = dict(w1=r(3, 3, c, co), b1=r(co), w2=r(3, 3, co, co), b2=r(co))
+        x1_p = jnp.abs(jnp.asarray(rng.standard_normal(
+            (batch, 224, 112, 2 * c)).astype(np.float32))).astype(dt)
+        a = jax.jit(functools.partial(xla_chain_d1, ws=ws))(x1_p)
+        b = jax.jit(functools.partial(fused_chain_d1, ws=ws, tile_rows=28))(x1_p)
+    else:
+        lvl = int(mode[-1])
+        c, cq, h = {2: (128, 64, 112), 3: (256, 128, 56),
+                    4: (512, 256, 28)}[lvl]
+        ws = make_ws2(c, cq)
+        x = jnp.asarray(rng.standard_normal(
+            (batch, h // 2, h // 2, c)).astype(np.float32)).astype(dt)
+        skip = jnp.asarray(rng.standard_normal(
+            (batch, h, h, c)).astype(np.float32)).astype(dt)
+        if lvl == 2:
+            a = jax.jit(functools.partial(xla_chain2, ws=ws, c=c))(x, skip)
+            b = jax.jit(functools.partial(
+                fused_chain2, ws=ws, c=c, tile_rows=28))(x, skip)
+        else:
+            a = jax.jit(functools.partial(
+                xla_chain_dense, ws=ws, c=c))(x, skip)
+            b = jax.jit(functools.partial(
+                fused_chain_dense, ws=ws, c=c,
+                tile_rows=28 if lvl == 3 else 14))(x, skip)
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    scale = max(1e-6, float(np.abs(a).max()))
+    d = float(np.abs(a - b).max())
+    print(f"{mode} bf16 prod-shape maxdiff {d:.4f} (rel {d/scale:.4f}, "
+          f"bf16 rounding scale)", flush=True)
+
+
 def run_timed(mode, tile, batch):
     c = 64
     ws = make_ws(c)
@@ -288,7 +328,8 @@ def main():
                     choices=["parity", "parity-prod", "xla", "fused", "gate",
                              "main", "xla2", "fused2", "gate2", "main2",
                              "xla3", "fused3", "xla4", "fused4",
-                             "xlad1", "fusedd1"])
+                             "xlad1", "fusedd1",
+                             "parity2", "parity3", "parity4", "parityd1"])
     ap.add_argument("--tile", type=int, default=56)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--ablate", default="",
@@ -305,6 +346,8 @@ def main():
         run_parity()
     elif args.mode == "parity-prod":
         run_parity_prod()
+    elif args.mode.startswith("parity"):
+        run_parity_lvl(args.mode)
     elif args.mode.endswith("d1"):
         run_timed_d1(args.mode, args.tile, args.batch)
     elif args.mode.endswith("3") or args.mode.endswith("4"):
