@@ -46,7 +46,7 @@ def measure_ours() -> float:
 
     # BENCH_FUSED=0 forces every fused Pallas level off, BENCH_FUSED=1 forces
     # all of them on (A/B sweeps); default = TwoStagePipeline's production
-    # defaults (measured winners only: fused up1 on TPU).
+    # defaults (measured winners only: fused up1 + up2 on TPU).
     fused_env = os.environ.get("BENCH_FUSED")
     fused_kw = {}
     if fused_env is not None:

@@ -129,14 +129,18 @@ class TwoStagePipeline:
             # measured 1.5x over the XLA packed level (RESULTS.md r3) -> on.
             fused_up1 = jax.default_backend() == "tpu"
         if fused_up2 is None:
-            # the up2/up34/down1 fused kernels are interpret-parity-tested but
-            # NOT yet measured on chip (RESULTS.md round-3 queue; up3/up4 XLA
-            # already runs at 64-78% roofline and may win) -> off until an
-            # on-chip A/B flips them; bench harnesses opt in explicitly.
-            fused_up2 = False
+            # measured on chip 2026-08-19 (RESULTS.md queue 3): fused 7.60 ms
+            # vs XLA 8.80 @ batch 64 bf16, prod-shape bf16 parity OK -> on.
+            fused_up2 = jax.default_backend() == "tpu"
         if fused_up34 is None:
+            # up3/up4 fused kernels still fail the real Mosaic lowering
+            # (dma_start in the dense halo copy; the CPU cross-lowering gate
+            # passes, so the reject is backend-version specific) and XLA runs
+            # those dense levels at 64-78% roofline anyway -> off.
             fused_up34 = False
         if fused_down1 is None:
+            # measured on chip 2026-08-19: fused 5.45 ms vs XLA 4.14 @ batch
+            # 64 — the pool+down1 level is MXU-bound and XLA wins -> off.
             fused_down1 = False
         self.fused_up1 = fused_up1
         self.fused_up2 = fused_up2
