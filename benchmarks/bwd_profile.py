@@ -1,0 +1,187 @@
+"""Per-level forward vs forward+backward timing for the packed train forward.
+
+The queue-3 whole-step profile (benchmarks/train_profile.py) showed the
+backward pass is 6.1x the forward (14.5 vs 2.38 ms at batch 8 bf16 packed) —
+this script locates WHERE: it scan-times each level of
+pipeline/engine_train.unet_forward_packed_train in isolation, forward-only and
+under jax.grad (w.r.t. that level's params AND its inputs, i.e. the real
+training dataflow), and prints the bwd/fwd ratio per level. The worst ratios
+are the candidates for Pallas backward kernels (recompute-in-bwd, dw summed
+across the sequential grid as in ops/pallas/conv.py).
+
+Methodology per memory/axon-tpu-tunnel-rules: ONE jitted lax.scan over K
+steps, inputs perturbed per step so XLA can't CSE, one scalar fetch.
+
+Usage: python benchmarks/bwd_profile.py [--batch 8] [--scan-len 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from unet_goolenet_tpu import ops
+from unet_goolenet_tpu.models import UNetTaskAligWeight
+from unet_goolenet_tpu.ops import packed as P
+from unet_goolenet_tpu.pipeline import engine_train as ET
+
+SIZE = 224
+
+
+def scan_time(fn, operands, k, iters=3):
+    """fn(operands) -> scalar; times one jitted scan of k perturbed calls."""
+
+    @jax.jit
+    def run(operands, steps):
+        def body(_, sc):
+            xs = jax.tree_util.tree_map(
+                lambda t: t * (1 + sc).astype(t.dtype), operands)
+            return _, fn(xs)
+
+        _, outs = jax.lax.scan(body, 0, steps)
+        return outs
+
+    steps = jnp.arange(k, dtype=jnp.float32) * 1e-6
+    _ = np.asarray(run(operands, steps))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(operands, steps))
+        best = min(best, time.perf_counter() - t0)
+    return best / k * 1000.0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--scan-len", type=int, default=20)
+    ap.add_argument("--f32", action="store_true",
+                    help="profile in f32 (default bf16, the production mode)")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on level names (smoke / retries)")
+    args = ap.parse_args(argv)
+
+    b = args.batch
+    K = args.scan_len
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    print(f"devices: {jax.devices()}")
+
+    key = jax.random.PRNGKey(0)
+    model = UNetTaskAligWeight(n_classes=1, dtype=dtype)
+    uv = model.init({"params": key}, jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    p, s = uv["params"], uv["batch_stats"]
+    t, ts = p["trunk"], s["trunk"]
+
+    def rnd(*shape):
+        return jax.random.normal(jax.random.PRNGKey(len(shape) + shape[-1]),
+                                 shape, dtype) * 0.1
+
+    # (name, params-subtree, stats-subtree, input arrays, fn(p, s, *xs)->tree)
+    levels = []
+
+    levels.append((
+        "inc p 3->64 @224", t["inc"], ts["inc"], (rnd(b, 224, 112, 6),),
+        lambda p_, s_, x: ET._cbn_t(x, p_, s_, packed=True)))
+
+    levels.append((
+        "pool+down1 64->128 @112", t["down1"]["nConvs"], ts["down1"]["nConvs"],
+        (rnd(b, 224, 112, 128),),
+        lambda p_, s_, x: ET._stack_t(P.max_pool2x2_p_to_dense(x), p_, s_,
+                                      packed=False)))
+
+    for i, (hw, cin) in zip(range(2, 5), ((112, 128), (56, 256), (28, 512))):
+        levels.append((
+            f"pool+down{i} @{hw // 2}", t[f"down{i}"]["nConvs"],
+            ts[f"down{i}"]["nConvs"], (rnd(b, hw, hw, cin),),
+            lambda p_, s_, x: ET._stack_t(ops.max_pool2d(x, 2), p_, s_,
+                                          packed=False)))
+
+    levels.append((
+        "transformer @14", p["task2"], s["task2"], (rnd(b, 14, 14, 512),),
+        lambda p_, s_, x: ET._transformer_t(x, x, p_, s_)))
+
+    levels.append((
+        "up4 @28", p["up4"], s["up4"],
+        (rnd(b, 14, 14, 512), rnd(b, 28, 28, 512)),
+        lambda p_, s_, x, sk: ET._up_alig_t(x, sk, p_, s_)))
+
+    levels.append((
+        "up3 @56", p["up3"], s["up3"],
+        (rnd(b, 28, 28, 256), rnd(b, 56, 56, 256)),
+        lambda p_, s_, x, sk: ET._up_alig_t(x, sk, p_, s_)))
+
+    def up2_head(p_, s_, y, skip):
+        up = ops.conv_transpose2x2(y, p_["up"]["kernel"].astype(y.dtype),
+                                   p_["up"]["bias"].astype(y.dtype),
+                                   accum_dtype=y.dtype)
+        gated, _ = ET._coord_att3_t(skip, up, p_["cca"], s_["cca"],
+                                    packed=False)
+        w0 = p_["nConvs"]["block0"]["conv"]["conv"]["kernel"]
+        c = up.shape[-1]
+        y_p, _ = ET._split_sum_cbn_t(up, w0[:, :, :c], gated, w0[:, :, c:],
+                                     p_["nConvs"]["block0"],
+                                     s_["nConvs"]["block0"], up_variant=True)
+        return ET._cbn_t(y_p, p_["nConvs"]["block1"], s_["nConvs"]["block1"],
+                         packed=True)
+
+    levels.append((
+        "up2 head p-out @112", p["up2"], s["up2"],
+        (rnd(b, 56, 56, 128), rnd(b, 112, 112, 128)), up2_head))
+
+    levels.append((
+        "up1 p @224", p["up1"], s["up1"],
+        (rnd(b, 112, 56, 128), rnd(b, 224, 112, 128)),
+        lambda p_, s_, x, sk: ET._up_alig_p_t(x, sk, p_, s_)))
+
+    levels.append((
+        "outc 1x1 p @224", p["outc"], None, (rnd(b, 224, 112, 128),),
+        lambda p_, s_, x: P.conv1x1_p(x, p_["conv"]["kernel"][0, 0],
+                                      p_["conv"]["bias"], accum=x.dtype)))
+
+    print(f"\n## packed train fwd vs fwd+bwd per level "
+          f"@ batch {b}, {'f32' if args.f32 else 'bf16'}, scan {K}\n")
+    print("| level | fwd ms | fwd+bwd ms | bwd ms | bwd/fwd |")
+    print("|---|---|---|---|---|")
+    rows = {}
+    tot_f = tot_fb = 0.0
+    if args.only:
+        levels = [lv for lv in levels if args.only in lv[0]]
+    for name, p_sub, s_sub, xs, fn in levels:
+        def fwd_scalar(ops_):
+            p_, xs_ = ops_
+            out = fn(p_, s_sub, *xs_)
+            return jax.tree_util.tree_reduce(
+                lambda a, v: a + jnp.sum(v.astype(jnp.float32)), out, 0.0)
+
+        def fb_scalar(ops_):
+            grads = jax.grad(fwd_scalar)(ops_)
+            return jax.tree_util.tree_reduce(
+                lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2), grads,
+                0.0)
+
+        operands = (p_sub, xs)
+        t_f = scan_time(fwd_scalar, operands, K)
+        t_fb = scan_time(fb_scalar, operands, K)
+        t_b = t_fb - t_f
+        rows[name] = {"fwd_ms": round(t_f, 2), "fwd_bwd_ms": round(t_fb, 2),
+                      "bwd_ms": round(t_b, 2)}
+        tot_f += t_f
+        tot_fb += t_fb
+        print(f"| {name} | {t_f:.2f} | {t_fb:.2f} | {t_b:.2f} "
+              f"| {t_fb / t_f - 1:.1f}x |")
+    print(f"| **sum** | {tot_f:.2f} | {tot_fb:.2f} | {tot_fb - tot_f:.2f} | |")
+    print()
+    print(json.dumps({"batch": b, "bf16": not args.f32, "levels": rows}))
+
+
+if __name__ == "__main__":
+    main()
