@@ -89,6 +89,37 @@ class TestPool:
         got = ops.max_pool2d(t2j_nchw(x), 3, stride=2, ceil_mode=True)
         np.testing.assert_allclose(j2n_nhwc(got), ref)
 
+    def test_maxpool2x2_grad_vs_torch(self):
+        # the custom VJP (ops/pool.py max_pool2x2) must route ties like torch:
+        # grad to the FIRST max in window scan order. Build inputs with
+        # deliberate ties: quantised values collide often.
+        x = np.round(rand(2, 4, 8, 8) * 2).astype(np.float32) / 2
+        g = rand(2, 4, 4, 4)
+        xt = torch.from_numpy(x).requires_grad_()
+        tF.max_pool2d(xt, 2).backward(torch.from_numpy(g))
+        ref = xt.grad.numpy()
+
+        _, vjp = jax.vjp(lambda v: ops.max_pool2d(v, 2), t2j_nchw(x))
+        (got,) = vjp(t2j_nchw(g))
+        np.testing.assert_array_equal(j2n_nhwc(got), ref)
+
+    def test_maxpool2x2_grad_vs_xla_adjoint(self):
+        # on tie-free data the custom VJP must equal the raw reduce_window
+        # adjoint bit-for-bit
+        from jax import lax
+        x = rand(2, 6, 10, 4)  # NHWC directly
+        g = rand(2, 3, 5, 4)
+
+        def raw(v):
+            return lax.reduce_window(v, -jnp.inf, lax.max,
+                                     (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+        _, vjp_fast = jax.vjp(lambda v: ops.max_pool2d(v, 2), jnp.asarray(x))
+        _, vjp_raw = jax.vjp(raw, jnp.asarray(x))
+        np.testing.assert_array_equal(
+            np.asarray(vjp_fast(jnp.asarray(g))[0]),
+            np.asarray(vjp_raw(jnp.asarray(g))[0]))
+
     def test_global_pools(self):
         x = rand(2, 4, 9, 11)
         np.testing.assert_allclose(

@@ -135,3 +135,15 @@ class TestSplitSumConvs:
                                     (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
         got = P.max_pool2x2_p_to_dense(P.pack(x))
         np.testing.assert_array_equal(got, ref)
+
+    def test_max_pool2x2_p_to_dense_grad(self):
+        # packed-pool custom VJP must route grads exactly like the dense
+        # ops.max_pool2d custom VJP (same first-max tie rule in LOGICAL window
+        # order), including on ties — quantise to force collisions.
+        x = jnp.round(rnd(KEYS[5], (2, 8, 12, 64)) * 2) / 2
+        g = rnd(KEYS[6], (2, 4, 6, 64))
+
+        _, vjp_p = jax.vjp(lambda v: P.max_pool2x2_p_to_dense(P.pack(v)), x)
+        _, vjp_d = jax.vjp(lambda v: ops.max_pool2d(v, 2), x)
+        np.testing.assert_array_equal(np.asarray(vjp_p(g)[0]),
+                                      np.asarray(vjp_d(g)[0]))

@@ -22,6 +22,7 @@ import flax.linen as nn
 
 from unet_goolenet_tpu.nn.init import torch_conv_init, torch_bias_init
 from unet_goolenet_tpu.ops.conv import conv_transpose2x2
+from unet_goolenet_tpu.ops.pool import max_pool2d
 
 Dtype = Any
 
@@ -112,7 +113,10 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # ops.max_pool2d (not nn.max_pool): its 2x2/s2 path carries the fast
+        # elementwise-mask backward, shared with the packed engine pool so
+        # flax-path and engine-path training grads use one tie rule.
+        x = max_pool2d(x, 2, 2)
         return ConvStack(self.features, self.n_convs, dtype=self.dtype, name="nConvs")(
             x, train=train
         )

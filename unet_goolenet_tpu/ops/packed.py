@@ -191,6 +191,14 @@ def max_pool2x2_p(x_p: jax.Array) -> jax.Array:
     return pooled.reshape(n, h // 2, wp // 2, c2)
 
 
+def _mpp_raw(x_p: jax.Array) -> jax.Array:
+    c = x_p.shape[-1] // 2
+    row = jax.lax.reduce_window(x_p, -jnp.inf, jax.lax.max,
+                                (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
+    return jnp.maximum(row[..., :c], row[..., c:])
+
+
+@jax.custom_vjp
 def max_pool2x2_p_to_dense(x_p: jax.Array) -> jax.Array:
     """2x2/s2 max pool, packed in -> DENSE out: (N,H,Wp,2C) -> (N,H/2,Wp,C).
 
@@ -201,11 +209,42 @@ def max_pool2x2_p_to_dense(x_p: jax.Array) -> jax.Array:
     reduce_window on the 64-channel 224^2 level; NB strided-slice forms
     (x[:, 0::2]) are ~3x slower than reduce_window on TPU — keep the window op
     (benchmarks/RESULTS.md r2).
+
+    Custom VJP: the autodiff adjoint would be a rows SelectAndScatter (slow on
+    TPU, benchmarks/bwd_profile.py) plus a balanced-tie `maximum` grad. The
+    custom backward routes the cotangent to the FIRST max in the LOGICAL
+    window scan order (r0c0, r0c1, r1c0, r1c1) = (row0 half0, row0 half1,
+    row1 half0, row1 half1) with pure elementwise masks — the same tie rule as
+    ops.pool.max_pool2x2, so packed and dense training grads agree.
     """
-    c = x_p.shape[-1] // 2
-    row = jax.lax.reduce_window(x_p, -jnp.inf, jax.lax.max,
-                                (1, 2, 1, 1), (1, 2, 1, 1), "VALID")
-    return jnp.maximum(row[..., :c], row[..., c:])
+    return _mpp_raw(x_p)
+
+
+def _mpp_fwd(x_p):
+    y = _mpp_raw(x_p)
+    return y, (x_p, y)
+
+
+def _mpp_bwd(res, g):
+    x_p, y = res
+    n, h2, wp, c = y.shape
+    a = x_p.reshape(n, h2, 2, wp, 2 * c)
+    e00 = a[:, :, 0, :, :c] == y
+    e01 = a[:, :, 0, :, c:] == y
+    e10 = a[:, :, 1, :, :c] == y
+    e11 = a[:, :, 1, :, c:] == y
+    m01 = e01 & ~e00
+    m10 = e10 & ~(e00 | e01)
+    m11 = e11 & ~(e00 | e01 | e10)
+    z = jnp.zeros_like(g)
+    row0 = jnp.concatenate([jnp.where(e00, g, z), jnp.where(m01, g, z)],
+                           axis=-1)
+    row1 = jnp.concatenate([jnp.where(m10, g, z), jnp.where(m11, g, z)],
+                           axis=-1)
+    return (jnp.stack([row0, row1], axis=2).reshape(x_p.shape),)
+
+
+max_pool2x2_p_to_dense.defvjp(_mpp_fwd, _mpp_bwd)
 
 
 def mean_max_hw_p(x_p: jax.Array):

@@ -28,6 +28,54 @@ def _ceil_pad(size: int, k: int, s: int) -> int:
     return max(0, needed - size)
 
 
+def _pool2x2_raw(x: jax.Array) -> jax.Array:
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding="VALID")
+
+
+@jax.custom_vjp
+def max_pool2x2(x: jax.Array) -> jax.Array:
+    """2x2/s2 max pool (NHWC, even H/W, float) with a fast TPU backward.
+
+    XLA's adjoint of reduce-window-max is SelectAndScatter — a windowed
+    scatter that resists fusion on TPU and dominated the train-step backward
+    (benchmarks/bwd_profile.py). This custom VJP recomputes the routing as
+    pure elementwise masks over a (N,H/2,2,W/2,2,C) view: grad goes to the
+    FIRST window element equal to the max, in window scan order
+    (r0c0, r0c1, r1c0, r1c1) — torch's tie rule, and the same element
+    SelectAndScatter's GE-select picks, so grads match the XLA adjoint
+    bit-for-bit (tests/test_ops.py). Reference pool: 分割/nets/basicUnet.py:47.
+    """
+    return _pool2x2_raw(x)
+
+
+def _mp2x2_fwd(x):
+    y = _pool2x2_raw(x)
+    return y, (x, y)
+
+
+def _mp2x2_bwd(res, g):
+    x, y = res
+    n, h2, w2, c = y.shape
+    v = x.reshape(n, h2, 2, w2, 2, c)
+    yb = y[:, :, None, :, None, :]
+    eq = v == yb
+    e00, e01 = eq[:, :, 0, :, 0], eq[:, :, 0, :, 1]
+    e10, e11 = eq[:, :, 1, :, 0], eq[:, :, 1, :, 1]
+    m01 = e01 & ~e00
+    m10 = e10 & ~(e00 | e01)
+    m11 = e11 & ~(e00 | e01 | e10)
+    z = jnp.zeros_like(g)
+    top = jnp.stack([jnp.where(e00, g, z), jnp.where(m01, g, z)], axis=3)
+    bot = jnp.stack([jnp.where(m10, g, z), jnp.where(m11, g, z)], axis=3)
+    return (jnp.stack([top, bot], axis=2).reshape(x.shape),)
+
+
+max_pool2x2.defvjp(_mp2x2_fwd, _mp2x2_bwd)
+
+
 def max_pool2d(
     x: jax.Array,
     window: Union[int, Sequence[int]] = 2,
@@ -48,6 +96,10 @@ def max_pool2d(
             (pads[0][0], pads[0][1] + _ceil_pad(h + pads[0][0] + pads[0][1], kh, sh)),
             (pads[1][0], pads[1][1] + _ceil_pad(w + pads[1][0] + pads[1][1], kw, sw)),
         ]
+    if ((kh, kw, sh, sw) == (2, 2, 2, 2) and not any(p for pr in pads for p in pr)
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        return max_pool2x2(x)
     # -inf (not finfo.min) so JAX recognises the differentiable reduce-window-max
     neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
