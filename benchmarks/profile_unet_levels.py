@@ -169,6 +169,12 @@ def main():
     print(f"| **full engine fwd (packed+fused up1)** | {sec*1e3:.2f} "
           f"| {total_fl/1e9:.2f} | {tf:.1f} | {100*tf/ROOFLINE_TFLOPS:.0f}% |")
     sec = scan_time(lambda x: engine.unet_forward_packed(
+        uv, x, fused_up1=True, fused_up2=True), x, iters=args.iters, k=K)
+    tf = total_fl * b / sec / 1e12
+    print(f"| **full engine fwd (packed+fused up1+up2 = prod default)** "
+          f"| {sec*1e3:.2f} | {total_fl/1e9:.2f} | {tf:.1f} "
+          f"| {100*tf/ROOFLINE_TFLOPS:.0f}% |")
+    sec = scan_time(lambda x: engine.unet_forward_packed(
         uv, x, fused_up1=True, fused_up2=True, fused_up34=True,
         fused_down1=True), x, iters=args.iters, k=K)
     tf = total_fl * b / sec / 1e12

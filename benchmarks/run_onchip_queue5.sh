@@ -39,6 +39,11 @@ step() {
 step bench-b64-fused     env BENCH_BATCH=64 python bench.py
 step bench-b64-nofused   env BENCH_BATCH=64 BENCH_FUSED=0 python bench.py
 step bench-b192-fused    env BENCH_BATCH=192 python bench.py
+# 1b. whole-forward rows incl. the prod-default fused set, to locate where
+#     the batch-128 e2e regression lives (kernel scaling vs lost cross-level
+#     XLA fusion vs non-UNet stages)
+step fwd-profile-b128    python benchmarks/profile_unet_levels.py --batch 128 --scan-len 20
+step fwd-profile-b64     python benchmarks/profile_unet_levels.py --batch 64
 # 2. training points with the fast maxpool backward (A/B vs queue-3 rows:
 #    packed b8 39.8 ms / b16 77.6 ms; flax bf16 b8 48.5 ms)
 step train-packed-b8     python benchmarks/train_bench.py --packed --bf16 --batch 8
