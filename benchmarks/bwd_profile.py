@@ -147,6 +147,36 @@ def main(argv=None):
         lambda p_, s_, x: P.conv1x1_p(x, p_["conv"]["kernel"][0, 0],
                                       p_["conv"]["bias"], accum=x.dtype)))
 
+    # --- up1 sub-levels: decompose the dominant bwd chunk -------------------
+    levels.append((
+        "up1.deconv p @224", p["up1"]["up"], None, (rnd(b, 112, 56, 128),),
+        lambda p_, s_, x: P.conv_transpose2x2_p(
+            x, p_["kernel"].astype(x.dtype), p_["bias"].astype(x.dtype),
+            accum=x.dtype)))
+
+    levels.append((
+        "up1.cca p @224", p["up1"]["cca"], s["up1"]["cca"],
+        (rnd(b, 224, 112, 128), rnd(b, 224, 112, 128)),
+        lambda p_, s_, sk, up: ET._coord_att3_t(sk, up, p_, s_,
+                                                packed=True)[0]))
+
+    def up1_splitsum(p_, s_, up_p, gated_p):
+        w = p_["block0"]["conv"]["conv"]["kernel"]
+        c = up_p.shape[-1] // 2
+        out, _ = ET._split_sum_cbn_t(up_p, w[:, :, :c], gated_p, w[:, :, c:],
+                                     p_["block0"], s_["block0"],
+                                     up_variant=False)
+        return out
+
+    levels.append((
+        "up1.splitsum p @224", p["up1"]["nConvs"], s["up1"]["nConvs"],
+        (rnd(b, 224, 112, 128), rnd(b, 224, 112, 128)), up1_splitsum))
+
+    levels.append((
+        "up1.block1 p @224", p["up1"]["nConvs"]["block1"],
+        s["up1"]["nConvs"]["block1"], (rnd(b, 224, 112, 128),),
+        lambda p_, s_, x: ET._cbn_t(x, p_, s_, packed=True)[0]))
+
     print(f"\n## packed train fwd vs fwd+bwd per level "
           f"@ batch {b}, {'f32' if args.f32 else 'bf16'}, scan {K}\n")
     print("| level | fwd ms | fwd+bwd ms | bwd ms | bwd/fwd |")

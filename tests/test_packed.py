@@ -136,6 +136,33 @@ class TestSplitSumConvs:
         got = P.max_pool2x2_p_to_dense(P.pack(x))
         np.testing.assert_array_equal(got, ref)
 
+    def test_conv3x3_up2_l_grad(self):
+        # the dense-equivalent backward of the logical-weight strided head
+        # must match autodiff of the expanded strided composite (same math,
+        # different f32 summation order)
+        a = rnd(KEYS[0], (2, 8, 12, 32)) * 0.3
+        b = rnd(KEYS[1], (2, 8, 12, 32)) * 0.3
+        wa = rnd(KEYS[2], (3, 3, 32, 16)) * 0.1
+        wb = rnd(KEYS[3], (3, 3, 32, 16)) * 0.1
+        bias = rnd(KEYS[4], (16,)) * 0.1
+
+        def f_new(ops_):
+            return jnp.sum(P.conv3x3_up2_l(*ops_) ** 2)
+
+        def f_old(ops_):
+            a_, wa_, b_, wb_, bias_ = ops_
+            return jnp.sum(P.conv3x3_up2(
+                a_, P.expand_weights_up(wa_), b_, P.expand_weights_up(wb_),
+                bias_) ** 2)
+
+        args = (a, wa, b, wb, bias)
+        np.testing.assert_allclose(f_new(args), f_old(args), rtol=1e-6)
+        gn = jax.grad(f_new)(args)
+        go = jax.grad(f_old)(args)
+        for n, o in zip(gn, go):
+            np.testing.assert_allclose(np.asarray(n), np.asarray(o),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_max_pool2x2_p_to_dense_grad(self):
         # packed-pool custom VJP must route grads exactly like the dense
         # ops.max_pool2d custom VJP (same first-max tie rule in LOGICAL window

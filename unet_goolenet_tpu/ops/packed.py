@@ -157,6 +157,65 @@ def conv3x3_up2(a: jax.Array, wa_exp: jax.Array,
     return jax.nn.relu(y) if relu else y
 
 
+def conv3x3_up2_l(a: jax.Array, wa: jax.Array, b_in: jax.Array,
+                  wb: jax.Array, bias: jax.Array, *,
+                  accum=jnp.float32) -> jax.Array:
+    """conv3x3_up2 with LOGICAL (3,3,Cin,Cout) f32 weights and a
+    dense-equivalent backward.
+
+    Forward == conv3x3_up2(a, expand_weights_up(wa), b_in,
+    expand_weights_up(wb), bias) — the fast stride-(1,2) packed-out head.
+    Autodiff of that strided form emits four DILATED convs (dx with
+    lhs_dilation=(1,2), dw with rhs_dilation=(1,2)) at the 112² level
+    (benchmarks/bwd_profile.py); the exact identity
+    conv3x3_up(x, expand(w)) == pack(conv3x3(x, w)) lets the backward run as
+    plain dense stride-1 convs instead: da = conv(unpack(g), flip_io(wa)),
+    dwa = native dw conv of (a, unpack(g)). Reference head conv:
+    分割/nets/basicUnet.py:115-129 (UpBlockAlig nConvs block0)."""
+    return _conv3x3_up2_l(jnp.dtype(accum), a, wa, b_in, wb, bias)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _conv3x3_up2_l(accum, a, wa, b_in, wb, bias):
+    return conv3x3_up2(a, expand_weights_up(wa).astype(a.dtype),
+                       b_in, expand_weights_up(wb).astype(a.dtype),
+                       bias.astype(a.dtype), accum=accum)
+
+
+def _up2l_fwd(accum, a, wa, b_in, wb, bias):
+    return _conv3x3_up2_l(accum, a, wa, b_in, wb, bias), (a, b_in, wa, wb)
+
+
+def _up2l_bwd(accum, res, g_p):
+    a, b_in, wa, wb = res
+    g = unpack(g_p)  # exact reshape: dense (N, H, W, Cout) cotangent
+    # dx: adjoint of a SAME stride-1 3x3 conv = SAME conv with the spatially
+    # flipped, io-swapped kernel
+    wa_t = wa[::-1, ::-1].swapaxes(2, 3).astype(g.dtype)
+    wb_t = wb[::-1, ::-1].swapaxes(2, 3).astype(g.dtype)
+    da = _conv(g, wa_t, (1, 1), [(1, 1), (1, 1)], g.dtype, accum)
+    db = _conv(g, wb_t, (1, 1), [(1, 1), (1, 1)], g.dtype, accum)
+
+    def dw_of(x):
+        # native dw conv via the transpose rule of the dense stride-1 conv
+        f = lambda w_: _conv(x, w_, (1, 1), [(1, 1), (1, 1)], x.dtype, accum)
+        wshape = jax.ShapeDtypeStruct((3, 3, x.shape[-1], g.shape[-1]),
+                                      x.dtype)
+        (dw,) = jax.linear_transpose(f, wshape)(g.astype(jnp.dtype(accum)))
+        return dw
+
+    dwa = dw_of(a).astype(wa.dtype)
+    dwb = dw_of(b_in).astype(wb.dtype)
+    dbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return (da.astype(a.dtype), dwa, db.astype(b_in.dtype), dwb, dbias)
+
+
+_conv3x3_up2_l.defvjp(_up2l_fwd, _up2l_bwd)
+
+
 def conv1x1_p(x_p: jax.Array, w: jax.Array,
               b: Optional[jax.Array] = None, accum=jnp.float32) -> jax.Array:
     """1x1 conv in packed layout: block-diagonal lane matmul.

@@ -140,9 +140,9 @@ def _split_sum_cbn_t(a, wa, b_in, wb, p_block, s_block, *, up_variant: bool):
     else packed -> packed."""
     bias = p_block["conv"]["conv"]["bias"]
     if up_variant:
-        y = P.conv3x3_up2(a, P.expand_weights_up(wa).astype(a.dtype),
-                          b_in, P.expand_weights_up(wb).astype(a.dtype),
-                          bias.astype(a.dtype), accum=a.dtype)
+        # logical-weight variant: same forward, dense-equivalent backward
+        # (kills the four dilated convs autodiff emits for the strided head)
+        y = P.conv3x3_up2_l(a, wa, b_in, wb, bias, accum=a.dtype)
     else:
         y = P.conv3x3_pp2(a, P.expand_weights_pp(wa).astype(a.dtype),
                           b_in, P.expand_weights_pp(wb).astype(a.dtype),
