@@ -115,12 +115,18 @@ class ServingArtifact:
 
     def __init__(self, exported, variables, meta: dict):
         self._exported = exported
-        self._vars = variables
+        # device-resident weights, transferred once at load
+        self._vars = jax.device_put(variables)
         self.meta = meta
+        # exported.call alone re-traces the deserialized module on every
+        # invocation (measured 3283 ms vs 86 ms live at batch 64 on chip,
+        # queue 4) — wrap it in jit ONCE so the executable is cached per
+        # concrete batch shape like any jitted function.
+        self._call = jax.jit(exported.call)
 
     def __call__(self, batch) -> jax.Array:
-        return self._exported.call(self._vars["unet"], self._vars["gnet"],
-                                   jnp.asarray(batch, jnp.float32))
+        return self._call(self._vars["unet"], self._vars["gnet"],
+                          jnp.asarray(batch, jnp.float32))
 
 
 def load_serving(out_dir: str) -> ServingArtifact:
