@@ -46,12 +46,21 @@ def measure_ours() -> float:
 
     # BENCH_FUSED=0 forces every fused Pallas level off, BENCH_FUSED=1 forces
     # all of them on (A/B sweeps); default = TwoStagePipeline's production
-    # defaults (measured winners only: fused up1 + up2 on TPU).
+    # defaults (measured winners: fused up1 on the packed path, dense engine
+    # forward at batch >= 128 — queue-5 whole-forward A/B in RESULTS.md).
     fused_env = os.environ.get("BENCH_FUSED")
     fused_kw = {}
     if fused_env is not None:
         v = fused_env != "0"
         fused_kw = dict(fused_up1=v, fused_up2=v, fused_up34=v, fused_down1=v)
+    # BENCH_MODE=dense forces the dense engine forward regardless of batch;
+    # BENCH_MODE=packed forces the packed(+fused per BENCH_FUSED) one.
+    # Default: the pipeline's batch-aware production policy.
+    mode_env = os.environ.get("BENCH_MODE")
+    if mode_env == "dense":
+        fused_kw["dense_batch_min"] = 1
+    elif mode_env == "packed":
+        fused_kw["dense_batch_min"] = 10 ** 9
 
     def build(**kw):
         pipe = TwoStagePipeline(unet, uv, gnet, gv, img_size=SIZE, dtype=dtype,

@@ -30,6 +30,9 @@ def main(argv=None) -> None:
     ap.add_argument("--packed", action="store_true",
                     help="use the pixel-packed engine train forward "
                          "(pipeline/engine_train.py)")
+    ap.add_argument("--remat", default="",
+                    help="comma list of engine levels to jax.checkpoint "
+                         "(up1,up2,inc) or 'all' (packed forward only)")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,7 +49,8 @@ def main(argv=None) -> None:
     state = init_seg_state(model, tx, jax.random.PRNGKey(0),
                            input_shape=(1, 224, 224, 3))
     step = make_seg_train_step(
-        model, tx, forward="engine-packed" if args.packed else "flax")
+        model, tx, forward="engine-packed" if args.packed else "flax",
+        remat=tuple(args.remat.split(",")) if args.remat else ())
 
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, 224, 224, 3))
     labels = (jax.random.uniform(jax.random.PRNGKey(2),

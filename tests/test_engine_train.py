@@ -78,6 +78,53 @@ class TestTrainForwardParity:
                 f" (leaf |g|max={np.abs(r).max():.3e})")
 
 
+class TestRematParity:
+    """jax.checkpoint on engine levels must change ONLY the autodiff
+    schedule: forward values identical, gradients identical to float noise
+    (engine_train.unet_forward_packed_train remat=...)."""
+
+    def test_level_remat_matches_no_remat(self):
+        model, params, stats, x = setup(size=32)
+        labels = (jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1))
+                  > 0.7).astype(jnp.float32)
+
+        def make_loss(remat):
+            def loss(p):
+                out, _ = unet_forward_packed_train(p, stats, x, remat=remat)
+                return jnp.mean((jax.nn.sigmoid(out) - labels) ** 2)
+            return loss
+
+        l0, g0 = jax.value_and_grad(make_loss(()))(params)
+        flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+        for remat in [("up1",), ("up2",), ("inc",), ("up1", "up2", "inc")]:
+            l1, g1 = jax.value_and_grad(make_loss(remat))(params)
+            np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6,
+                                       err_msg=str(remat))
+            flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+            for (path, r), (_, e) in zip(flat0, flat1):
+                r, e = np.asarray(r), np.asarray(e)
+                bound = max(1e-4 * np.abs(r).max(), 1e-7)
+                assert np.abs(e - r).max() <= bound, (
+                    f"remat={remat} {jax.tree_util.keystr(path)}")
+
+    def test_step_with_remat_all(self):
+        model = UNetTaskAligWeight(n_classes=1)
+        tx = optim.make_adamw(1e-4)
+        state = init_seg_state(model, tx, KEY, input_shape=(1, 32, 32, 3))
+        imgs = jax.random.uniform(KEY, (2, 32, 32, 3))
+        labels = (jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1))
+                  > 0.7).astype(jnp.float32)
+        step = jax.jit(make_seg_train_step(model, tx,
+                                           forward="engine-packed"))
+        step_r = jax.jit(make_seg_train_step(model, tx,
+                                             forward="engine-packed",
+                                             remat=("all",)))
+        _, m = step(state, imgs, labels)
+        _, mr = step_r(state, imgs, labels)
+        np.testing.assert_allclose(float(mr["loss"]), float(m["loss"]),
+                                   rtol=1e-5)
+
+
 class TestEnginePackedTrainStep:
     def test_step_matches_flax_step(self):
         """Full refinement train step: engine-packed vs flax, same state in,

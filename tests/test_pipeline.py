@@ -159,6 +159,31 @@ class TestEndToEnd:
         assert masks.shape == (2, S, S)
 
 
+class TestDenseBatchMin:
+    def test_dense_branch_matches_packed(self):
+        """dense_batch_min routes batches >= it to the dense engine forward;
+        both layouts must grade identically (two_stage.py batch-aware policy,
+        queue-5 measurement in benchmarks/RESULTS.md)."""
+        pipe_p = build_pipeline()                       # CPU auto -> packed
+        pipe_d = build_pipeline_kw(dense_batch_min=2)   # batch 2 -> dense
+        assert pipe_p.dense_batch_min is None
+        assert build_pipeline_kw(dense_batch_min=0).dense_batch_min is None
+        gray = np.asarray(jax.random.uniform(KEY, (2, 40, 50), jnp.float32,
+                                             0.0, 255.0))
+        a = pipe_p.infer_from_gray(gray)
+        d = pipe_d.infer_from_gray(gray)
+        b1 = pipe_d.infer_from_gray(gray[:1])  # batch 1 < 2 -> packed branch
+        np.testing.assert_array_equal(np.asarray(a["grades"]),
+                                      np.asarray(d["grades"]))
+        np.testing.assert_array_equal(np.asarray(b1["grades"]),
+                                      np.asarray(a["grades"][:1]))
+        np.testing.assert_allclose(np.asarray(a["masks"]),
+                                   np.asarray(d["masks"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a["cls_logits"]),
+                                   np.asarray(d["cls_logits"]),
+                                   rtol=2e-3, atol=2e-4)
+
+
 class TestMxuGlue:
     def test_mxu_pipeline_matches_default(self):
         """mxu_preprocess + mxu_roi (the TPU serving defaults) vs the plain

@@ -217,22 +217,53 @@ def _transformer_t(x, m, p, s, *, heads=8, dim=512):
     return x.reshape(n, h, w, c), m.reshape(n, h, w, c), stats
 
 
+def _inc_t(x, p, s):
+    return _cbn_t(x, p, s, packed=True)
+
+
+def _up2_head_t(y, skip, p2, s2):
+    """up2 train mode: cca dense at 128ch; output convs emit packed 64ch
+    (split-sum strided head). Returns (packed out, new stats)."""
+    up = ops.conv_transpose2x2(y, p2["up"]["kernel"].astype(y.dtype),
+                               p2["up"]["bias"].astype(y.dtype),
+                               accum_dtype=y.dtype)
+    gated, n_cca2 = _coord_att3_t(skip, up, p2["cca"], s2["cca"],
+                                  packed=False)
+    w0 = p2["nConvs"]["block0"]["conv"]["conv"]["kernel"]
+    c = up.shape[-1]
+    y_p, n_b0 = _split_sum_cbn_t(up, w0[:, :, :c], gated, w0[:, :, c:],
+                                 p2["nConvs"]["block0"],
+                                 s2["nConvs"]["block0"], up_variant=True)
+    y_p, n_b1 = _cbn_t(y_p, p2["nConvs"]["block1"],
+                       s2["nConvs"]["block1"], packed=True)
+    return y_p, {"cca": n_cca2, "nConvs": {"block0": n_b0, "block1": n_b1}}
+
+
 def unet_forward_packed_train(
-    params: Dict[str, Any], batch_stats: Dict[str, Any], x: jax.Array
+    params: Dict[str, Any], batch_stats: Dict[str, Any], x: jax.Array,
+    *, remat: Tuple[str, ...] = (),
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Train-mode forward of UNetTaskAligWeight with packed 64-channel levels.
 
     Matches model.apply({'params','batch_stats'}, x, train=True,
     mutable=['batch_stats']) to float tolerance (tests/test_engine_train.py);
     requires an even image width. The compute dtype is x.dtype (pass bf16
-    inputs for the mixed-precision mode; params stay f32)."""
+    inputs for the mixed-precision mode; params stay f32).
+
+    remat: level names from {'up1', 'up2', 'inc'} to wrap in jax.checkpoint —
+    the backward then recomputes that level's forward instead of loading its
+    saved intermediates from HBM (the big 224²/112² levels are HBM-bound in
+    the backward, benchmarks/bwd_profile.py). Identical values/grads, only
+    the autodiff schedule changes."""
     p, s = params, batch_stats
     t, ts = p["trunk"], s["trunk"]
     n, hh, ww, _ = x.shape
     new_trunk: Dict[str, Any] = {}
 
+    ckpt = lambda name, fn: jax.checkpoint(fn) if name in remat else fn
+
     x_p = x.reshape(n, hh, ww // 2, 6)
-    x1_p, new_trunk["inc"] = _cbn_t(x_p, t["inc"], ts["inc"], packed=True)
+    x1_p, new_trunk["inc"] = ckpt("inc", _inc_t)(x_p, t["inc"], ts["inc"])
 
     h = P.max_pool2x2_p_to_dense(x1_p)
     h, n_d1 = _stack_t(h, t["down1"]["nConvs"], ts["down1"]["nConvs"],
@@ -251,22 +282,9 @@ def unet_forward_packed_train(
     y, n_up4 = _up_alig_t(out0, feats[2], p["up4"], s["up4"])
     y, n_up3 = _up_alig_t(y, feats[1], p["up3"], s["up3"])
 
-    # up2: cca dense at 128ch; output convs emit packed 64ch (split-sum head)
-    up = ops.conv_transpose2x2(y, p["up2"]["up"]["kernel"].astype(y.dtype),
-                               p["up2"]["up"]["bias"].astype(y.dtype),
-                               accum_dtype=y.dtype)
-    gated, n_cca2 = _coord_att3_t(feats[0], up, p["up2"]["cca"],
-                                  s["up2"]["cca"], packed=False)
-    w0 = p["up2"]["nConvs"]["block0"]["conv"]["conv"]["kernel"]
-    c = up.shape[-1]
-    y_p, n_b0 = _split_sum_cbn_t(up, w0[:, :, :c], gated, w0[:, :, c:],
-                                 p["up2"]["nConvs"]["block0"],
-                                 s["up2"]["nConvs"]["block0"], up_variant=True)
-    y_p, n_b1 = _cbn_t(y_p, p["up2"]["nConvs"]["block1"],
-                       s["up2"]["nConvs"]["block1"], packed=True)
-    n_up2 = {"cca": n_cca2, "nConvs": {"block0": n_b0, "block1": n_b1}}
+    y_p, n_up2 = ckpt("up2", _up2_head_t)(y, feats[0], p["up2"], s["up2"])
 
-    y_p, n_up1 = _up_alig_p_t(y_p, x1_p, p["up1"], s["up1"])
+    y_p, n_up1 = ckpt("up1", _up_alig_p_t)(y_p, x1_p, p["up1"], s["up1"])
     out_p = P.conv1x1_p(y_p, p["outc"]["conv"]["kernel"][0, 0],
                         p["outc"]["conv"]["bias"], accum=y_p.dtype)
     logits = P.unpack(out_p)

@@ -114,6 +114,7 @@ class TwoStagePipeline:
                  padding: int = 30, dtype=jnp.float32, use_engine: bool = True,
                  fused_up1: bool = None, fused_up2: bool = None,
                  fused_up34: bool = None, fused_down1: bool = None,
+                 dense_batch_min: int = None,
                  mxu_preprocess: bool = None, mxu_roi: bool = None,
                  s2d_stem: bool = None):
         self.unet = unet
@@ -129,9 +130,13 @@ class TwoStagePipeline:
             # measured 1.5x over the XLA packed level (RESULTS.md r3) -> on.
             fused_up1 = jax.default_backend() == "tpu"
         if fused_up2 is None:
-            # measured on chip 2026-08-19 (RESULTS.md queue 3): fused 7.60 ms
-            # vs XLA 8.80 @ batch 64 bf16, prod-shape bf16 parity OK -> on.
-            fused_up2 = jax.default_backend() == "tpu"
+            # the ISOLATED level A/B favours the fused kernel (7.60 vs 8.80 ms
+            # @ batch 64 bf16, RESULTS.md queue 3), but the WHOLE-forward A/B
+            # (queue 5) has it losing at both batch 64 (47.40 vs 45.90 ms) and
+            # batch 128 (96.42 vs 92.15): the Pallas call breaks XLA's
+            # cross-level fusion with up1's deconv, which outweighs the
+            # in-level win -> off.
+            fused_up2 = False
         if fused_up34 is None:
             # up3/up4 fused kernels still fail the real Mosaic lowering
             # (dma_start in the dense halo copy; the CPU cross-lowering gate
@@ -146,6 +151,15 @@ class TwoStagePipeline:
         self.fused_up2 = fused_up2
         self.fused_up34 = fused_up34
         self.fused_down1 = fused_down1
+        if dense_batch_min is None:
+            # queue-5 whole-forward A/B (bf16): packed+fused-up1 wins at
+            # batch 64 (45.90 vs dense 57.18 ms), dense wins at batch 128
+            # (86.26 vs 92.15). 128 = the first measured point where dense
+            # leads. CPU keeps the packed path (the parity-tested default).
+            dense_batch_min = 128 if jax.default_backend() == "tpu" else None
+        elif dense_batch_min <= 0:
+            dense_batch_min = None
+        self.dense_batch_min = dense_batch_min
         if mxu_preprocess is None:
             # NCHW-layout preprocess resize: same per-channel math (parity in
             # tests/test_pipeline.py), better lane use on TPU
@@ -170,11 +184,24 @@ class TwoStagePipeline:
         # (ops/packed.py; measured 1.13x on the whole UNet forward) whenever
         # the image width is even; fused_up1/fused_up2 run those decoder
         # levels as single VMEM-resident Pallas kernels (ops/pallas/up{1,2}).
-        unet_engine_fwd = (
+        # The packed/fused layout win is BATCH-DEPENDENT (queue-5 profile,
+        # RESULTS.md): at batch 64 packed(+fused up1/up2) is fastest, at batch
+        # 128 the plain dense forward wins (86.3 vs 96.4 ms whole-fwd bf16).
+        # dense_batch_min selects the crossover: batches >= it take the dense
+        # forward, smaller ones the packed(+fused) one. jit re-traces per
+        # batch shape, so the Python branch below is free at runtime.
+        unet_engine_fwd_packed = (
             partial(_engine.unet_forward_packed, fused_up1=fused_up1,
                     fused_up2=fused_up2, fused_up34=fused_up34,
                     fused_down1=fused_down1)
-            if img_size % 2 == 0 else _engine.unet_forward)
+            if img_size % 2 == 0 else None)
+
+        def unet_engine_fwd(unet_vars, imgs):
+            if unet_engine_fwd_packed is None or (
+                    dense_batch_min is not None
+                    and imgs.shape[0] >= dense_batch_min):
+                return _engine.unet_forward(unet_vars, imgs)
+            return unet_engine_fwd_packed(unet_vars, imgs)
 
         def _seg(unet_vars, imgs):
             if use_engine:

@@ -37,6 +37,7 @@ def make_seg_train_step(
     loss_fn: Callable = dc_and_bce_loss,
     n_refine: int = 2,
     forward: str = "flax",
+    remat: tuple = (),
 ) -> Callable:
     """Build a jittable train step: (state, imgs NHWC, labels (N,H,W,1)) ->
     (state, metrics dict).
@@ -44,19 +45,35 @@ def make_seg_train_step(
     forward="engine-packed" swaps the flax apply for the hand-scheduled
     pixel-packed train forward (pipeline/engine_train.py) — same math to float
     tolerance, measured faster on TPU (benchmarks/RESULTS.md); flagship
-    UNetTaskAligWeight with even image width only."""
+    UNetTaskAligWeight with even image width only. remat selects engine
+    levels to jax.checkpoint (see unet_forward_packed_train), or ("all",) to
+    rematerialise the whole forward; identical values, backward trades HBM
+    loads of saved activations for recompute."""
 
     if forward == "engine-packed":
         from unet_goolenet_tpu.pipeline.engine_train import (
             unet_forward_packed_train,
         )
+        bad = set(remat) - {"all", "up1", "up2", "inc"}
+        if bad:
+            raise ValueError(f"unknown remat level(s) {sorted(bad)}; "
+                             f"choose from up1, up2, inc, all")
+        level_remat = tuple(r for r in remat if r != "all")
 
         def fwd(p, batch_stats, imgs):
             # the engine's compute dtype is the input dtype; honour the
             # model's configured dtype (bf16 mixed precision) like flax does
             return unet_forward_packed_train(
-                p, batch_stats, imgs.astype(model.dtype))
+                p, batch_stats, imgs.astype(model.dtype), remat=level_remat)
+
+        if "all" in remat:
+            fwd = jax.checkpoint(fwd)
     elif forward == "flax":
+        if remat:
+            # same silent-flag-combination class as train_seg's
+            # --engine-forward + --data-parallel guard (ADVICE r2)
+            raise ValueError("remat= applies to forward='engine-packed' only")
+
         def fwd(p, batch_stats, imgs):
             out, mut = model.apply(
                 {"params": p, "batch_stats": batch_stats},
