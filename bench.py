@@ -21,7 +21,8 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "baseline_cpu.json")
-# measured best (r2b sweep: 64->1070, 128->1193, 192->1083, 256->1172);
+# measured best (r2b packed sweep: 64->1070, 128->1193, 192->1083, 256->1172;
+# queue-6 dense sweep: 128->1313.6, 192->1122, 256->1245 — b128 wins both);
 # BENCH_BATCH env overrides for sweeps (official number = the default)
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 IMG_HW = (400, 500)  # raw ultrasound-ish input size

@@ -105,6 +105,30 @@ def main(argv=None):
 
     t_fb = scan_time(fb_step, state, (imgs, labels), args.iters)
 
+    # -- optimizer only: tx.update + apply_updates on frozen grads (uses the
+    # params themselves as a stand-in grad tree — same shapes/dtypes, and the
+    # carried opt_state/params keep the scan's dependency chain real). Times
+    # ONE update; the n=2 step pays this twice.
+    def opt_step(st, grads):
+        updates, opt_state = tx.update(grads, st.opt_state, st.params)
+        params = optax.apply_updates(st.params, updates)
+        return st._replace(params=params, opt_state=opt_state), jnp.float32(0)
+
+    t_opt = scan_time(opt_step, state, (state.params,), args.iters)
+
+    # -- refinement glue alone: sigmoid -> per-image conf -> imgs compound
+    # (main.py:164-175), carried so scan can't elide it
+    def glue_step(carry, _unused):
+        temp, cur = carry
+        temps = jax.nn.sigmoid(temp)
+        conf = jnp.mean(jnp.abs(0.5 - temps) * 2.0,
+                        axis=tuple(range(1, temps.ndim)), keepdims=True)
+        cur = cur + temps * conf
+        return (temp + 1.0, cur), jnp.float32(0)
+
+    glue_carry = (jnp.zeros((args.batch, 224, 224, 1), dtype), imgs.astype(dtype))
+    t_glue = scan_time(glue_step, glue_carry, (jnp.float32(0),), args.iters)
+
     # -- full refinement step
     step = make_seg_train_step(
         model, tx, forward="engine-packed" if args.packed else "flax")
@@ -123,6 +147,9 @@ def main(argv=None):
         "full_step_ms": round(t_full, 2),
         "bwd_only_ms": round(t_fb - t_fwd, 2),
         "non_fb_ms": round(t_full - 2 * t_fb, 2),
+        "opt_ms": round(t_opt, 2),
+        "glue_ms": round(t_glue, 2),
+        "unattributed_ms": round(t_full - 2 * t_fb - 2 * t_opt - t_glue, 2),
         "img_per_s": round(args.batch / (t_full / 1000), 1),
     }))
 
