@@ -33,6 +33,9 @@ def main(argv=None) -> None:
     ap.add_argument("--remat", default="",
                     help="comma list of engine levels to jax.checkpoint "
                          "(up1,up2,inc) or 'all' (packed forward only)")
+    ap.add_argument("--flat-opt", action="store_true",
+                    help="AdamW on one raveled parameter vector instead of "
+                         "per-leaf (optim.make_adamw_flat; same update rule)")
     args = ap.parse_args(argv)
 
     import jax
@@ -45,7 +48,8 @@ def main(argv=None) -> None:
 
     model = UNetTaskAligWeight(
         n_classes=1, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
-    tx = optim.make_adamw(1e-4)
+    tx = (optim.make_adamw_flat(1e-4) if args.flat_opt
+          else optim.make_adamw(1e-4))
     state = init_seg_state(model, tx, jax.random.PRNGKey(0),
                            input_shape=(1, 224, 224, 3))
     step = make_seg_train_step(
@@ -83,6 +87,7 @@ def main(argv=None) -> None:
         "batch": args.batch,
         "bf16": bool(args.bf16),
         "packed": bool(args.packed),
+        "flat_opt": bool(args.flat_opt),
     }))
 
 

@@ -49,6 +49,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--packed", action="store_true")
+    ap.add_argument("--flat-opt", action="store_true",
+                    help="AdamW on one raveled vector (optim.make_adamw_flat)")
     args = ap.parse_args(argv)
 
     import jax
@@ -62,7 +64,8 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = UNetTaskAligWeight(n_classes=1, dtype=dtype)
-    tx = optim.make_adamw(1e-4)
+    tx = (optim.make_adamw_flat(1e-4) if args.flat_opt
+          else optim.make_adamw(1e-4))
     state = init_seg_state(model, tx, jax.random.PRNGKey(0),
                            input_shape=(1, 224, 224, 3))
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, 224, 224, 3))
@@ -141,7 +144,7 @@ def main(argv=None):
 
     print(json.dumps({
         "batch": args.batch, "bf16": bool(args.bf16),
-        "packed": bool(args.packed),
+        "packed": bool(args.packed), "flat_opt": bool(args.flat_opt),
         "fwd_ms": round(t_fwd, 2),
         "fwd_bwd_ms": round(t_fb, 2),
         "full_step_ms": round(t_full, 2),

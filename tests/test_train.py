@@ -144,6 +144,68 @@ class TestPlateauScheduler:
         assert abs(float(state.opt_state.hyperparams["learning_rate"]) - 5e-5) < 1e-9
 
 
+class TestFlatAdamW:
+    """make_adamw_flat must be update-for-update identical to the per-leaf
+    optax.adamw tree optimizer (it is an execution-schedule experiment, not a
+    new optimizer — benchmarks/RESULTS.md queue 7)."""
+
+    def _tree(self):
+        k = jax.random.split(KEY, 4)
+        return {
+            "conv": {"kernel": jax.random.normal(k[0], (3, 3, 8, 16)),
+                     "bias": jnp.zeros((16,))},
+            "bn": {"scale": jnp.ones((8,)), "bias": jax.random.normal(k[1], (8,))},
+            "fc": {"kernel": jax.random.normal(k[2], (16, 4))},
+        }
+
+    def test_matches_tree_adamw(self):
+        params_a = self._tree()
+        params_b = jax.tree_util.tree_map(jnp.copy, params_a)
+        tx_a = optim.make_adamw(1e-3)
+        tx_b = optim.make_adamw_flat(1e-3)
+        st_a = tx_a.init(params_a)
+        st_b = tx_b.init(params_b)
+        for i in range(5):
+            grads = jax.tree_util.tree_map(
+                lambda p: jnp.sin(p + i).astype(p.dtype), params_a)
+            upd_a, st_a = tx_a.update(grads, st_a, params_a)
+            upd_b, st_b = tx_b.update(grads, st_b, params_b)
+            import optax
+            params_a = optax.apply_updates(params_a, upd_a)
+            params_b = optax.apply_updates(params_b, upd_b)
+        flat_a = jax.tree_util.tree_leaves(params_a)
+        flat_b = jax.tree_util.tree_leaves(params_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_lr_injection_contract(self):
+        params = self._tree()
+        tx = optim.make_adamw_flat(1e-4)
+        st = tx.init(params)
+        optim.set_learning_rate(st, 5e-5)
+        assert abs(float(st.hyperparams["learning_rate"]) - 5e-5) < 1e-9
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        _, st2 = tx.update(grads, st, params)
+        assert abs(float(st2.hyperparams["learning_rate"]) - 5e-5) < 1e-9
+
+    def test_jit_and_donation_safe(self):
+        params = self._tree()
+        tx = optim.make_adamw_flat(1e-3)
+        st = tx.init(params)
+
+        @jax.jit
+        def step(st, params, grads):
+            upd, st = tx.update(grads, st, params)
+            import optax
+            return st, optax.apply_updates(params, upd)
+
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        st, params = step(st, params, grads)
+        st, params = step(st, params, grads)
+        assert int(st.count) == 2
+
+
 class TestEarlyStopper:
     def test_patience_extension_quirk(self):
         es = optim.EarlyStopper(patience=3, lr_threshold=1e-4, extension=2)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax
+import jax.flatten_util  # jax.flatten_util.ravel_pytree needs the explicit import
 import jax.numpy as jnp
 import optax
 
@@ -32,6 +33,61 @@ def make_adamw(learning_rate: float = 1e-4, weight_decay: float = 0.01):
         eps=1e-8,
         weight_decay=weight_decay,
     )
+
+
+class FlatAdamWState(NamedTuple):
+    count: jnp.ndarray
+    m: jnp.ndarray  # first moment, one flat f32 vector over all leaves
+    v: jnp.ndarray  # second moment, same layout
+    hyperparams: dict  # {"learning_rate": f32 scalar} — set_learning_rate target
+
+
+def make_adamw_flat(learning_rate: float = 1e-4, weight_decay: float = 0.01,
+                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """AdamW with the moment math on ONE raveled parameter vector.
+
+    Identical update rule to make_adamw (optax.adamw: bias-corrected moments,
+    decoupled weight decay on every leaf, matching the reference's
+    torch.optim.AdamW defaults, 分割/main.py:240) — only the schedule differs:
+    instead of per-leaf m/v updates (169 leaves for the flagship UNet, 116 of
+    them tiny), grads and params are raveled once and the whole Adam step runs
+    as a handful of full-vector kernels. An on-chip A/B experiment for the
+    train step's optimizer glue (benchmarks/RESULTS.md queue-7); parity with
+    the tree optimizer is asserted in tests/test_train.py.
+
+    Same lr-rescale contract as make_adamw: plateau scheduling writes
+    opt_state.hyperparams['learning_rate'] (set_learning_rate). Checkpoints of
+    the two optimizers are not interchangeable (flat vs per-leaf state trees).
+    """
+
+    def init(params) -> FlatAdamWState:
+        flat, _ = jax.flatten_util.ravel_pytree(params)
+        z = jnp.zeros(flat.shape, jnp.float32)
+        return FlatAdamWState(
+            count=jnp.zeros([], jnp.int32), m=z, v=z,
+            hyperparams={"learning_rate": jnp.float32(learning_rate)},
+        )
+
+    def update(grads, state: FlatAdamWState, params):
+        if params is None:
+            raise ValueError("make_adamw_flat requires params (weight decay)")
+        g, _ = jax.flatten_util.ravel_pytree(grads)
+        p, unravel = jax.flatten_util.ravel_pytree(params)
+        g = g.astype(jnp.float32)
+        count = state.count + 1
+        m = b1 * state.m + (1.0 - b1) * g
+        v = b2 * state.v + (1.0 - b2) * jnp.square(g)
+        t = count.astype(jnp.float32)
+        mhat = m / (1.0 - b1**t)
+        vhat = v / (1.0 - b2**t)
+        lr = state.hyperparams["learning_rate"]
+        upd = -lr * (mhat / (jnp.sqrt(vhat) + eps)
+                     + weight_decay * p.astype(jnp.float32))
+        new_state = FlatAdamWState(count=count, m=m, v=v,
+                                   hyperparams={"learning_rate": lr})
+        return unravel(upd), new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 class PlateauState(NamedTuple):
