@@ -190,11 +190,15 @@ class TestFlatAdamW:
         assert abs(float(st2.hyperparams["learning_rate"]) - 5e-5) < 1e-9
 
     def test_jit_and_donation_safe(self):
+        # donate_argnums=(0,) like the train steps: init() must hand out
+        # DISTINCT m/v buffers or XLA rejects the double donation
         params = self._tree()
         tx = optim.make_adamw_flat(1e-3)
         st = tx.init(params)
 
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(0,))
         def step(st, params, grads):
             upd, st = tx.update(grads, st, params)
             import optax

@@ -72,6 +72,12 @@ def parse_args(argv=None):
                    help="mixed-precision training: bf16 compute, f32 params/"
                         "optimizer (standard TPU recipe; the reference trains "
                         "f32, so this is an opt-in performance mode)")
+    p.add_argument("--flat-opt", action="store_true",
+                   help="AdamW on one raveled parameter vector instead of "
+                        "per-leaf (optim.make_adamw_flat; identical update "
+                        "rule, different execution schedule). Checkpoints are "
+                        "not interchangeable with the default optimizer's — "
+                        "resume with the same flag it was saved with")
     return p.parse_args(argv)
 
 
@@ -125,7 +131,8 @@ def main(argv=None):
 
     model = UNetTaskAligWeight(
         n_classes=1, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
-    tx = optim.make_adamw(args.lr)
+    tx = (optim.make_adamw_flat(args.lr) if args.flat_opt
+          else optim.make_adamw(args.lr))
     state = init_seg_state(model, tx, key,
                            input_shape=(1, args.img_size, args.img_size, 3))
     mgr = CheckpointManager(args.save_dir)

@@ -62,9 +62,12 @@ def make_adamw_flat(learning_rate: float = 1e-4, weight_decay: float = 0.01,
 
     def init(params) -> FlatAdamWState:
         flat, _ = jax.flatten_util.ravel_pytree(params)
-        z = jnp.zeros(flat.shape, jnp.float32)
+        # m and v must be DISTINCT buffers: train steps donate the opt_state,
+        # and aliasing one zeros array into both fields donates it twice
         return FlatAdamWState(
-            count=jnp.zeros([], jnp.int32), m=z, v=z,
+            count=jnp.zeros([], jnp.int32),
+            m=jnp.zeros(flat.shape, jnp.float32),
+            v=jnp.zeros(flat.shape, jnp.float32),
             hyperparams={"learning_rate": jnp.float32(learning_rate)},
         )
 
