@@ -36,6 +36,11 @@ def main(argv=None) -> None:
     ap.add_argument("--flat-opt", action="store_true",
                     help="AdamW on one raveled parameter vector instead of "
                          "per-leaf (optim.make_adamw_flat; same update rule)")
+    ap.add_argument("--flat-state", action="store_true",
+                    help="FLAT-STATE training: params live as one raveled "
+                         "vector, unravelled inside the forward — the grads "
+                         "arrive flat and the optimizer is a handful of "
+                         "full-vector kernels (seg.flatten_seg_state)")
     args = ap.parse_args(argv)
 
     import jax
@@ -44,17 +49,25 @@ def main(argv=None) -> None:
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
     from unet_goolenet_tpu.models import UNetTaskAligWeight
     from unet_goolenet_tpu.train import optim
-    from unet_goolenet_tpu.train.seg import init_seg_state, make_seg_train_step
+    from unet_goolenet_tpu.train.seg import (
+        flatten_seg_state,
+        init_seg_state,
+        make_seg_train_step,
+    )
 
     model = UNetTaskAligWeight(
         n_classes=1, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
-    tx = (optim.make_adamw_flat(1e-4) if args.flat_opt
+    tx = (optim.make_adamw_flat(1e-4) if (args.flat_opt or args.flat_state)
           else optim.make_adamw(1e-4))
     state = init_seg_state(model, tx, jax.random.PRNGKey(0),
                            input_shape=(1, 224, 224, 3))
+    unravel = None
+    if args.flat_state:
+        state, unravel = flatten_seg_state(state, tx)
     step = make_seg_train_step(
         model, tx, forward="engine-packed" if args.packed else "flax",
-        remat=tuple(args.remat.split(",")) if args.remat else ())
+        remat=tuple(args.remat.split(",")) if args.remat else (),
+        unravel=unravel)
 
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, 224, 224, 3))
     labels = (jax.random.uniform(jax.random.PRNGKey(2),
@@ -88,6 +101,7 @@ def main(argv=None) -> None:
         "bf16": bool(args.bf16),
         "packed": bool(args.packed),
         "flat_opt": bool(args.flat_opt),
+        "flat_state": bool(args.flat_state),
     }))
 
 

@@ -51,6 +51,10 @@ def main(argv=None):
     ap.add_argument("--packed", action="store_true")
     ap.add_argument("--flat-opt", action="store_true",
                     help="AdamW on one raveled vector (optim.make_adamw_flat)")
+    ap.add_argument("--flat-state", action="store_true",
+                    help="flat-state training: params stay one raveled vector "
+                         "(seg.flatten_seg_state) — no per-step tree<->vector "
+                         "copies, unlike --flat-opt")
     args = ap.parse_args(argv)
 
     import jax
@@ -60,14 +64,21 @@ def main(argv=None):
     from unet_goolenet_tpu.models import UNetTaskAligWeight
     from unet_goolenet_tpu.train import optim
     from unet_goolenet_tpu.train.losses import dc_and_bce_loss
-    from unet_goolenet_tpu.train.seg import init_seg_state, make_seg_train_step
+    from unet_goolenet_tpu.train.seg import (
+        flatten_seg_state,
+        init_seg_state,
+        make_seg_train_step,
+    )
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = UNetTaskAligWeight(n_classes=1, dtype=dtype)
-    tx = (optim.make_adamw_flat(1e-4) if args.flat_opt
+    tx = (optim.make_adamw_flat(1e-4) if (args.flat_opt or args.flat_state)
           else optim.make_adamw(1e-4))
     state = init_seg_state(model, tx, jax.random.PRNGKey(0),
                            input_shape=(1, 224, 224, 3))
+    unravel = None
+    if args.flat_state:
+        state, unravel = flatten_seg_state(state, tx)
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, 224, 224, 3))
     labels = (jax.random.uniform(jax.random.PRNGKey(2),
                                  (args.batch, 224, 224, 1)) > 0.7
@@ -85,6 +96,12 @@ def main(argv=None):
             out, mut = model.apply({"params": p, "batch_stats": stats}, x,
                                    train=True, mutable=["batch_stats"])
             return out, mut["batch_stats"]
+
+    if unravel is not None:
+        tree_fwd = fwd
+
+        def fwd(p, stats, x):
+            return tree_fwd(unravel(p), stats, x)
 
     # -- fwd only: carry batch_stats so the scan has a real dependency chain
     def fwd_step(st, x):
@@ -134,7 +151,8 @@ def main(argv=None):
 
     # -- full refinement step
     step = make_seg_train_step(
-        model, tx, forward="engine-packed" if args.packed else "flax")
+        model, tx, forward="engine-packed" if args.packed else "flax",
+        unravel=unravel)
 
     def full_step(st, x, y):
         st, metrics = step(st, x, y)
@@ -145,6 +163,7 @@ def main(argv=None):
     print(json.dumps({
         "batch": args.batch, "bf16": bool(args.bf16),
         "packed": bool(args.packed), "flat_opt": bool(args.flat_opt),
+        "flat_state": bool(args.flat_state),
         "fwd_ms": round(t_fwd, 2),
         "fwd_bwd_ms": round(t_fb, 2),
         "full_step_ms": round(t_full, 2),

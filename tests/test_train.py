@@ -210,6 +210,74 @@ class TestFlatAdamW:
         assert int(st.count) == 2
 
 
+class TestFlatStateTraining:
+    def test_flat_state_step_matches_tree_step(self):
+        """The flat-state train step (params as ONE raveled vector, unravelled
+        inside the loss — seg.flatten_seg_state + make_seg_train_step(unravel=))
+        must train step-for-step like the default tree-state step: the unravel
+        is exact and make_adamw_flat is update-identical to per-leaf AdamW.
+
+        Tolerances are TIGHT at step 1 (identical input params; the unravel
+        and the loss are exact, so losses match to float noise) and
+        drift-bounded afterwards: the two optimizers differ by ~1 ulp in
+        formula arrangement (optax's int-pow bias correction vs the flat
+        twin's float-pow), and Adam's g/(sqrt(v)+eps) normalisation amplifies
+        any ulp-level param wobble to O(lr) at near-zero-gradient coordinates
+        — measured 7e-10 single-update diff growing to ~7e-5 loss diff by
+        step 2, eager AND jitted. Exact single-update parity is asserted
+        directly in TestFlatAdamW; this test pins the trajectory contract."""
+        from unet_goolenet_tpu.train.seg import flatten_seg_state
+
+        model, tx, state = small_seg_setup()
+        tx_flat = optim.make_adamw_flat(1e-4)
+        fstate, unravel = flatten_seg_state(state, tx_flat)
+
+        step = jax.jit(make_seg_train_step(model, tx))
+        fstep = jax.jit(make_seg_train_step(model, tx_flat, unravel=unravel))
+
+        imgs = jax.random.uniform(KEY, SHAPE)
+        labels = (jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1))
+                  > 0.7).astype(jnp.float32)
+        # ONE step call (= two refinement updates): input params are identical
+        # so the reported loss matches to float noise; after-step params are
+        # within a couple of Adam steps (|update| <= ~lr = 1e-4 per inner
+        # update). Beyond one call the eps-regime divergence compounds
+        # chaotically and a fixed tolerance stops being a meaningful contract.
+        state, metrics = step(state, imgs, labels)
+        fstate, fmetrics = fstep(fstate, imgs, labels)
+        np.testing.assert_allclose(float(fmetrics["loss"]),
+                                   float(metrics["loss"]), rtol=1e-6)
+        want = jax.tree_util.tree_leaves(state.params)
+        got = jax.tree_util.tree_leaves(unravel(fstate.params))
+        for a, b in zip(want, got):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=0, atol=3e-4)
+        # batch_stats: pass-1 stats identical, pass-2 sees ~lr-perturbed params
+        for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                        jax.tree_util.tree_leaves(fstate.batch_stats)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=0, atol=2e-3)
+
+    def test_flat_state_step_jits_and_learns(self):
+        """The jitted flat-state step must run and reduce the loss (bitwise
+        parity with the tree step under jit is NOT asserted — see above)."""
+        from unet_goolenet_tpu.train.seg import flatten_seg_state
+
+        model, _, state = small_seg_setup()
+        tx_flat = optim.make_adamw_flat(1e-3)
+        fstate, unravel = flatten_seg_state(state, tx_flat)
+        fstep = jax.jit(make_seg_train_step(model, tx_flat, unravel=unravel))
+
+        imgs = jax.random.uniform(KEY, SHAPE)
+        labels = (jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1))
+                  > 0.7).astype(jnp.float32)
+        fstate, m0 = fstep(fstate, imgs, labels)
+        for _ in range(4):
+            fstate, m = fstep(fstate, imgs, labels)
+        assert float(m["loss"]) < float(m0["loss"])
+        assert np.isfinite(float(m["loss"]))
+
+
 class TestEarlyStopper:
     def test_patience_extension_quirk(self):
         es = optim.EarlyStopper(patience=3, lr_threshold=1e-4, extension=2)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
+import jax.flatten_util  # ravel_pytree lives under the explicit import
 import jax.numpy as jnp
 import optax
 
@@ -38,6 +39,7 @@ def make_seg_train_step(
     n_refine: int = 2,
     forward: str = "flax",
     remat: tuple = (),
+    unravel: Callable = None,
 ) -> Callable:
     """Build a jittable train step: (state, imgs NHWC, labels (N,H,W,1)) ->
     (state, metrics dict).
@@ -48,7 +50,16 @@ def make_seg_train_step(
     UNetTaskAligWeight with even image width only. remat selects engine
     levels to jax.checkpoint (see unet_forward_packed_train), or ("all",) to
     rematerialise the whole forward; identical values, backward trades HBM
-    loads of saved activations for recompute."""
+    loads of saved activations for recompute.
+
+    unravel (from flatten_seg_state) switches the step to FLAT-STATE training:
+    state.params is ONE raveled f32 vector, unravel()'d inside the loss so
+    autodiff emits the gradient flat (the unravel's adjoint is one
+    concat pass) and the optimizer runs as a handful of full-vector kernels
+    instead of 169 per-leaf ones. Pair with optim.make_adamw_flat, whose
+    ravel_pytree of an already-flat vector is a no-op — unlike the --flat-opt
+    A/B (RESULTS.md queue 8), no per-step tree<->vector copies exist. Same
+    update rule to the bit (test_train.py flat parity tests)."""
 
     if forward == "engine-packed":
         from unet_goolenet_tpu.pipeline.engine_train import (
@@ -84,6 +95,12 @@ def make_seg_train_step(
             return out, mut["batch_stats"]
     else:
         raise ValueError(f"unknown forward {forward!r}")
+
+    if unravel is not None:
+        tree_fwd = fwd
+
+        def fwd(p, batch_stats, imgs):
+            return tree_fwd(unravel(p), batch_stats, imgs)
 
     def one_pass(params, batch_stats, opt_state, imgs, labels):
         def losses(p):
@@ -143,3 +160,18 @@ def init_seg_state(model, tx, rng, input_shape=(1, 224, 224, 3)) -> TrainState:
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
     )
+
+
+def flatten_seg_state(state: TrainState, tx_flat) -> Tuple[TrainState, Callable]:
+    """Convert a tree-params TrainState into the flat-state form: params as
+    ONE raveled f32 vector, opt_state re-initialised for it (tx_flat =
+    optim.make_adamw_flat; moments start at zero, so convert BEFORE training —
+    a mid-run conversion would drop the accumulated moments). Returns
+    (flat_state, unravel); pass unravel to make_seg_train_step. Unravel the
+    params for eval/checkpointing with unravel(state.params)."""
+    flat, unravel = jax.flatten_util.ravel_pytree(state.params)
+    return TrainState(
+        params=flat,
+        batch_stats=state.batch_stats,
+        opt_state=tx_flat.init(flat),
+    ), unravel
