@@ -54,12 +54,19 @@ def measure_ours() -> float:
     if fused_env is not None:
         v = fused_env != "0"
         fused_kw = dict(fused_up1=v, fused_up2=v, fused_up34=v, fused_down1=v)
-    # BENCH_MODE=dense forces the dense engine forward regardless of batch;
+    # BENCH_MODE=dense forces the PLAIN dense engine forward (no fused tail);
+    # BENCH_MODE=dense_fused forces the hybrid (dense trunk + packed fused
+    # up1+outc Pallas tail — the production default at batch >= 128 since
+    # queue 9 measured it winning, 1325.6 vs 1313.6 img/s);
     # BENCH_MODE=packed forces the packed(+fused per BENCH_FUSED) one.
     # Default: the pipeline's batch-aware production policy.
     mode_env = os.environ.get("BENCH_MODE")
     if mode_env == "dense":
         fused_kw["dense_batch_min"] = 1
+        fused_kw["dense_fused_up1"] = False
+    elif mode_env == "dense_fused":
+        fused_kw["dense_batch_min"] = 1
+        fused_kw["dense_fused_up1"] = True
     elif mode_env == "packed":
         fused_kw["dense_batch_min"] = 10 ** 9
 
@@ -96,7 +103,8 @@ def measure_ours() -> float:
         print(f"[bench] fused pipeline compile failed ({type(e).__name__}); "
               f"falling back to packed XLA graph", file=sys.stderr)
         pipe, run_many = build(fused_up1=False, fused_up2=False,
-                               fused_up34=False, fused_down1=False)
+                               fused_up34=False, fused_down1=False,
+                               dense_fused_up1=False)
         _ = np.asarray(run_many(pipe.unet_vars, pipe.gnet_vars, grays))
     best = float("inf")
     for _ in range(3):

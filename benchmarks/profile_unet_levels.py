@@ -158,6 +158,8 @@ def main():
     x = rnd((224, 224, 3))
     rows = [
         ("dense", lambda x: engine.unet_forward(uv, x)),
+        ("dense+fused up1 hybrid",
+         lambda x: engine.unet_forward(uv, x, fused_up1=True)),
         ("packed", lambda x: engine.unet_forward_packed(uv, x)),
         ("packed+fused up1",
          lambda x: engine.unet_forward_packed(uv, x, fused_up1=True)),

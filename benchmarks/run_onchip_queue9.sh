@@ -11,6 +11,11 @@
 #     the Pallas-backward-twin candidate (or reveals a cheap targeted fix,
 #     e.g. the mean/max pool gradient).
 #
+#  Plus: serve-artifact re-measure (the queue-7 crash is fixed — symbolic
+#  batch now ships the packed graph) and the dense+fused-up1 HYBRID e2e at
+#  the official batch 128 (BENCH_MODE=dense_fused; wins if the fused tail's
+#  b128 cost beats dense up1's 30.4 ms).
+#
 # ONE TPU process at a time; retrying health probe (relay restarts between
 # processes).
 #
@@ -46,8 +51,10 @@ step() {
   fi
 }
 
+step serve-artifact  python benchmarks/serve_bench.py --mode artifact
 step up1-xla-b128    python benchmarks/up1_bench.py --mode xla --batch 128
 step up1-fused-b128  python benchmarks/up1_bench.py --mode fused --tile 56 --batch 128
 step up2-xla-b128    python benchmarks/up1_bench.py --mode xla2 --batch 128
 step bwd-up1-split   python benchmarks/bwd_profile.py --batch 8 --only up1.
+step e2e-hybrid-b128 env BENCH_MODE=dense_fused python bench.py
 echo "=== QUEUE9 COMPLETE $(date -u) ==="

@@ -56,7 +56,8 @@ def build(dtype_name: str):
     # serialization path, not the Pallas kernels (which exports exclude)
     pipe = TwoStagePipeline(unet, uv, gnet, gv, img_size=SIZE, dtype=dtype,
                             fused_up1=False, fused_up2=False,
-                            fused_up34=False, fused_down1=False)
+                            fused_up34=False, fused_down1=False,
+                            dense_fused_up1=False)
     gray = jax.random.uniform(key, (BATCH, *IMG_HW), jnp.float32, 0.0, 255.0)
     return pipe, jax.device_put(gray)
 

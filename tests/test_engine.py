@@ -126,3 +126,21 @@ class TestFusedUp1Tail:
         got = engine.unet_forward_packed(variables, x, fused_up1=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
+
+    def test_hybrid_dense_fused_tail_matches_dense(self):
+        """unet_forward(fused_up1=True) — the dense trunk + packed fused
+        up1+outc tail hybrid — == the plain dense engine forward up to f32
+        summation order (pack/unpack are exact reshapes)."""
+        from unet_goolenet_tpu.ops import pallas as pk
+
+        pk.interpret_mode(True)
+        model = UNetTaskAligWeight(n_classes=1)
+        x = jax.random.uniform(KEY, (2, 64, 64, 3))
+        variables = model.init({"params": KEY}, x, train=False)
+        _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": mut["batch_stats"]}
+        ref = engine.unet_forward(variables, x)
+        got = engine.unet_forward(variables, x, fused_up1=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)

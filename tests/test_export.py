@@ -85,6 +85,22 @@ def test_bf16_pipeline_export_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(runner(gray)), np.asarray(want))
 
 
+@pytest.mark.parametrize("crossover", [128, 1])
+def test_export_with_batch_policy(pipe, tmp_path, crossover):
+    """The batch-aware layout policy must export under a SYMBOLIC batch dim:
+    `b >= 128` is inconclusive under shape polymorphism (crashed on chip,
+    queue 7) — polymorphic exports ship the packed graph; dense_batch_min=1
+    forces the dense one (that comparison is conclusive for every b)."""
+    ppipe = TwoStagePipeline(pipe.unet, pipe.unet_vars, pipe.gnet,
+                             pipe.gnet_vars, img_size=S,
+                             dense_batch_min=crossover)
+    export_serving(ppipe, str(tmp_path), raw_hw=RAW)
+    runner = load_serving(str(tmp_path))
+    gray = RNG.uniform(0, 255, (3, *RAW)).astype(np.float32)
+    want = ppipe.infer_grades(jnp.asarray(gray))
+    np.testing.assert_array_equal(np.asarray(runner(gray)), np.asarray(want))
+
+
 def test_single_platform_export(pipe, tmp_path):
     meta = export_serving(pipe, str(tmp_path), source="rgb",
                           platforms=("cpu",))

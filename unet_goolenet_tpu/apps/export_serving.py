@@ -59,7 +59,8 @@ def main(argv=None):
     pipe = load_two_stage(
         args.unet_checkpoint, args.gnet_checkpoint, key,
         img_size=args.img_size, num_classes=args.num_classes, dtype=dtype,
-        fused_up1=False, fused_up2=False, fused_up34=False, fused_down1=False)
+        fused_up1=False, fused_up2=False, fused_up34=False, fused_down1=False,
+        dense_fused_up1=False)
 
     meta = export_serving(pipe, args.out_dir, source=args.source,
                           raw_hw=tuple(args.raw_hw) if args.raw_hw else None,

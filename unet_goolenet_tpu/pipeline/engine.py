@@ -448,9 +448,19 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
     return P.unpack(out_p)
 
 
-def unet_forward(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
+def unet_forward(variables: Dict[str, Any], x: jax.Array,
+                 *, fused_up1: bool = False) -> jax.Array:
     """Engine forward of UNetTaskAligWeight: variables from model.init / the
-    checkpoint converter; x (N, H, W, 3) -> logits (N, H, W, n_classes)."""
+    checkpoint converter; x (N, H, W, 3) -> logits (N, H, W, n_classes).
+
+    fused_up1=True is the HYBRID forward: the dense graph (the measured
+    batch>=128 winner, RESULTS.md queue 5/7) but with the up1+outc tail run
+    as the packed fused Pallas kernel — pack()/unpack() at the boundary are
+    layout-preserving reshapes (W*C == (W/2)*2C contiguous). Measured at the
+    official batch 128 (queue 9): e2e 1325.6 vs plain-dense 1313.6 img/s
+    (fused tail 25.97 ms vs dense up1 30.36 level-scale), so this is the
+    TwoStagePipeline default on TPU for dense-branch batches; falls back to
+    the dense tail on unsupported geometry."""
     p = variables["params"]
     s = variables["batch_stats"]
     t = p["trunk"]
@@ -466,5 +476,10 @@ def unet_forward(variables: Dict[str, Any], x: jax.Array) -> jax.Array:
     y = _up_alig(out0, feats[3], p["up4"], s["up4"])
     y = _up_alig(y, feats[2], p["up3"], s["up3"])
     y = _up_alig(y, feats[1], p["up2"], s["up2"])
+    if fused_up1 and x.shape[2] % 2 == 0:
+        from unet_goolenet_tpu.ops.pallas.up1 import up1_supported
+        if up1_supported(x1.shape[1]):
+            return P.unpack(unet_forward_packed_tail_fused(
+                variables, P.pack(y), P.pack(x1), x.dtype))
     y = _up_alig(y, feats[0], p["up1"], s["up1"])
     return _conv1x1(y, p["outc"])

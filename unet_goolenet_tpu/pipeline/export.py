@@ -62,6 +62,15 @@ def export_serving(pipe, out_dir: str, *, source: str = "gray",
 
     fused = [k for k in ("fused_up1", "fused_up2", "fused_up34", "fused_down1")
              if getattr(pipe, k, False)]
+    # dense_fused_up1 puts a Pallas call in the DENSE branch only; a symbolic
+    # batch dim ships the packed graph (two_stage.unet_engine_fwd), so it can
+    # reach the artifact only when the dense branch is what gets exported
+    # (dense_batch_min <= 1, or odd img_size with no packed forward at all)
+    dense_exported = (getattr(pipe, "img_size", 0) % 2 == 1 or
+                      (getattr(pipe, "dense_batch_min", None) is not None
+                       and pipe.dense_batch_min <= 1))
+    if getattr(pipe, "dense_fused_up1", False) and dense_exported:
+        fused.append("dense_fused_up1")
     if fused and not keep_fused:
         raise ValueError(
             f"pipeline has Pallas levels enabled ({', '.join(fused)}); their "

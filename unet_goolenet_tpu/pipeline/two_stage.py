@@ -114,7 +114,7 @@ class TwoStagePipeline:
                  padding: int = 30, dtype=jnp.float32, use_engine: bool = True,
                  fused_up1: bool = None, fused_up2: bool = None,
                  fused_up34: bool = None, fused_down1: bool = None,
-                 dense_batch_min: int = None,
+                 dense_batch_min: int = None, dense_fused_up1: bool = None,
                  mxu_preprocess: bool = None, mxu_roi: bool = None,
                  s2d_stem: bool = None):
         self.unet = unet
@@ -160,6 +160,13 @@ class TwoStagePipeline:
         elif dense_batch_min <= 0:
             dense_batch_min = None
         self.dense_batch_min = dense_batch_min
+        if dense_fused_up1 is None:
+            # HYBRID default, measured queue 9 (RESULTS.md): the dense trunk
+            # with the packed fused up1+outc Pallas tail beats plain dense at
+            # the official batch 128 — e2e 1325.6 vs 1313.6 img/s, level-scale
+            # fused tail 25.97 ms vs dense up1 30.36. TPU-only (pltpu kernel).
+            dense_fused_up1 = jax.default_backend() == "tpu"
+        self.dense_fused_up1 = dense_fused_up1
         if mxu_preprocess is None:
             # NCHW-layout preprocess resize: same per-channel math (parity in
             # tests/test_pipeline.py), better lane use on TPU
@@ -197,10 +204,19 @@ class TwoStagePipeline:
             if img_size % 2 == 0 else None)
 
         def unet_engine_fwd(unet_vars, imgs):
-            if unet_engine_fwd_packed is None or (
-                    dense_batch_min is not None
-                    and imgs.shape[0] >= dense_batch_min):
-                return _engine.unet_forward(unet_vars, imgs)
+            n = imgs.shape[0]
+            # A jax.export symbolic batch dim (shape_poly) is not an int and
+            # can't be compared against the crossover — one exported graph
+            # must serve every batch. Ship the packed graph (the
+            # below-crossover default); exporters can force the dense one by
+            # building the pipeline with dense_batch_min=1.
+            dense = unet_engine_fwd_packed is None or (
+                dense_batch_min is not None and isinstance(n, int)
+                and n >= dense_batch_min) or (
+                dense_batch_min is not None and dense_batch_min <= 1)
+            if dense:
+                return _engine.unet_forward(unet_vars, imgs,
+                                            fused_up1=dense_fused_up1)
             return unet_engine_fwd_packed(unet_vars, imgs)
 
         def _seg(unet_vars, imgs):
