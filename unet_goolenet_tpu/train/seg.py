@@ -59,7 +59,10 @@ def make_seg_train_step(
     instead of 169 per-leaf ones. Pair with optim.make_adamw_flat, whose
     ravel_pytree of an already-flat vector is a no-op — unlike the --flat-opt
     A/B (RESULTS.md queue 8), no per-step tree<->vector copies exist. Same
-    update rule to the bit (test_train.py flat parity tests)."""
+    update rule to the bit (test_train.py flat parity tests). Measured
+    NEGATIVE on chip (RESULTS.md queue 10): the optimizer/glue do compress,
+    but the unravel's param slicing breaks XLA's backward fusion (bwd 12.92
+    -> 16.05 ms at b8) — stays opt-in; the default tree step is faster."""
 
     if forward == "engine-packed":
         from unet_goolenet_tpu.pipeline.engine_train import (
