@@ -69,6 +69,12 @@ def measure_ours() -> float:
         fused_kw["dense_fused_up1"] = True
     elif mode_env == "packed":
         fused_kw["dense_batch_min"] = 10 ** 9
+    # BENCH_UP2=packed|fused moves the hybrid's dense->packed switch point to
+    # the up2 level (engine.unet_forward up2 kwarg; only affects the dense
+    # branch when the fused up1 tail is on)
+    up2_env = os.environ.get("BENCH_UP2")
+    if up2_env in ("packed", "fused"):
+        fused_kw["dense_up2"] = up2_env
 
     def build(**kw):
         pipe = TwoStagePipeline(unet, uv, gnet, gv, img_size=SIZE, dtype=dtype,

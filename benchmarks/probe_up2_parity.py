@@ -1,0 +1,51 @@
+"""On-chip parity probe for the hybrid up2 switch-point variants (queue 11).
+
+Runs the dense engine forward vs the fused-up1 hybrid with up2 in
+{dense, packed, fused} on the REAL chip at f32, batch 2, and asserts logits
+match (pack/unpack are exact reshapes; split-sum changes only f32 summation
+order). The CPU twin lives in tests/test_engine.py::TestFusedUp1Tail; this
+probe exists because Pallas lowering differs on-chip vs interpret mode.
+
+Exit 0 = all variants match; nonzero (with a printed max-abs diff) otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from unet_goolenet_tpu.models import UNetTaskAligWeight
+from unet_goolenet_tpu.pipeline import engine
+
+
+def main() -> int:
+    print(f"devices: {jax.devices()}")
+    key = jax.random.PRNGKey(0)
+    unet = UNetTaskAligWeight(n_classes=1)
+    uv = unet.init({"params": key}, jnp.zeros((1, 224, 224, 3)), train=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 224, 224, 3), jnp.float32)
+
+    ref = np.asarray(jax.jit(engine.unet_forward)(uv, x))
+    ok = True
+    for kw in (dict(fused_up1=True),
+               dict(fused_up1=True, up2="packed"),
+               dict(fused_up1=True, up2="fused")):
+        got = np.asarray(
+            jax.jit(lambda v, y, kw=kw: engine.unet_forward(v, y, **kw))(uv, x))
+        diff = float(np.max(np.abs(got - ref)))
+        scale = float(np.max(np.abs(ref)))
+        passed = diff <= 1e-4 + 1e-4 * scale
+        ok &= passed
+        print(f"{kw}: max|diff|={diff:.3e} (ref scale {scale:.3e}) "
+              f"{'OK' if passed else 'MISMATCH'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

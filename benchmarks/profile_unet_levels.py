@@ -68,6 +68,12 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--scan-len", type=int, default=50)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--rows-only", action="store_true",
+                    help="skip the per-level section; run only the "
+                         "whole-forward rows")
+    ap.add_argument("--row-filter", default=None,
+                    help="run only whole-forward rows whose name contains "
+                         "this substring")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
@@ -140,6 +146,9 @@ def main():
     total_ms = 0.0
     total_fl = 0.0
     for name, fn, shape, fl in levels:
+        total_fl += fl
+        if args.rows_only:
+            continue
         if isinstance(shape[0], tuple):
             xs = tuple(rnd(sh) for sh in shape)
         else:
@@ -147,7 +156,6 @@ def main():
         sec = scan_time(fn, xs, iters=args.iters, k=K)
         tf = fl * b / sec / 1e12
         total_ms += sec * 1e3
-        total_fl += fl
         print(f"| {name} | {sec*1e3:.2f} | {fl/1e9:.2f} | {tf:.1f} "
               f"| {100*tf/ROOFLINE_TFLOPS:.0f}% |", flush=True)
 
@@ -160,10 +168,14 @@ def main():
         ("dense", lambda x: engine.unet_forward(uv, x)),
         ("dense+fused up1 hybrid",
          lambda x: engine.unet_forward(uv, x, fused_up1=True)),
+        ("hybrid, packed-xla up2",
+         lambda x: engine.unet_forward(uv, x, fused_up1=True, up2="packed")),
+        ("hybrid, fused up2",
+         lambda x: engine.unet_forward(uv, x, fused_up1=True, up2="fused")),
         ("packed", lambda x: engine.unet_forward_packed(uv, x)),
         ("packed+fused up1",
          lambda x: engine.unet_forward_packed(uv, x, fused_up1=True)),
-        ("packed+fused up1+up2 = prod default",
+        ("packed+fused up1+up2",
          lambda x: engine.unet_forward_packed(uv, x, fused_up1=True,
                                               fused_up2=True)),
         ("all fused",
@@ -172,6 +184,8 @@ def main():
                                               fused_down1=True)),
     ]
     for name, fn in rows:
+        if args.row_filter and args.row_filter not in name:
+            continue
         try:
             sec = scan_time(fn, x, iters=args.iters, k=K)
         except Exception as e:  # Mosaic lowering reject, OOM, ...

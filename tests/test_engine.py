@@ -130,7 +130,8 @@ class TestFusedUp1Tail:
     def test_hybrid_dense_fused_tail_matches_dense(self):
         """unet_forward(fused_up1=True) — the dense trunk + packed fused
         up1+outc tail hybrid — == the plain dense engine forward up to f32
-        summation order (pack/unpack are exact reshapes)."""
+        summation order (pack/unpack are exact reshapes); likewise the up2
+        switch-point variants ("packed" all-XLA and "fused" Pallas up2)."""
         from unet_goolenet_tpu.ops import pallas as pk
 
         pk.interpret_mode(True)
@@ -141,6 +142,9 @@ class TestFusedUp1Tail:
         variables = {"params": variables["params"],
                      "batch_stats": mut["batch_stats"]}
         ref = engine.unet_forward(variables, x)
-        got = engine.unet_forward(variables, x, fused_up1=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-5)
+        for kw in (dict(fused_up1=True),
+                   dict(fused_up1=True, up2="packed"),
+                   dict(fused_up1=True, up2="fused")):
+            got = engine.unet_forward(variables, x, **kw)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-5, err_msg=str(kw))

@@ -354,6 +354,23 @@ def _up2_fused(y, skip, p, s, dtype) -> jax.Array:
     return _up_fused(y, skip, p, s, dtype, packed_out=True)
 
 
+def _up2_packed_xla(y, skip, p, s, dtype):
+    """The up2 level with dense inputs and PACKED output, all-XLA: dense
+    deconv + dense CoordAtt3 (both 128-channel, MXU-friendly), then the
+    concat+conv pair emitted straight into packed 64-channel layout as a
+    split-sum (ops/packed.conv3x3_up2) and block1 packed."""
+    up = ops.conv_transpose2x2(y, p["up"]["kernel"].astype(dtype),
+                               p["up"]["bias"].astype(dtype))
+    gated = _coord_att3(skip, up, p["cca"], s["cca"])
+    w0, b0 = _fold(p["nConvs"]["block0"], s["nConvs"]["block0"])
+    c = up.shape[-1]
+    y_p = P.conv3x3_up2(
+        up, P.expand_weights_up(w0[:, :, :c]).astype(dtype),
+        gated, P.expand_weights_up(w0[:, :, c:]).astype(dtype),
+        b0.astype(dtype), relu=True)
+    return _cbn_pp(y_p, p["nConvs"]["block1"], s["nConvs"]["block1"], dtype)
+
+
 def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
                         *, fused_up1: bool = False,
                         fused_up2: bool = False,
@@ -425,18 +442,7 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
     if fused_up2 and hh % 2 == 0 and up_level_supported(2 * y.shape[1]):
         y_p = _up2_fused(y, feats[0], p["up2"], s["up2"], dtype)
     else:
-        up = ops.conv_transpose2x2(y, p["up2"]["up"]["kernel"].astype(dtype),
-                                   p["up2"]["up"]["bias"].astype(dtype))
-        gated = _coord_att3(feats[0], up, p["up2"]["cca"], s["up2"]["cca"])
-        w0, b0 = _fold(p["up2"]["nConvs"]["block0"],
-                       s["up2"]["nConvs"]["block0"])
-        c = up.shape[-1]
-        y_p = P.conv3x3_up2(
-            up, P.expand_weights_up(w0[:, :, :c]).astype(dtype),
-            gated, P.expand_weights_up(w0[:, :, c:]).astype(dtype),
-            b0.astype(dtype), relu=True)
-        y_p = _cbn_pp(y_p, p["up2"]["nConvs"]["block1"],
-                      s["up2"]["nConvs"]["block1"], dtype)
+        y_p = _up2_packed_xla(y, feats[0], p["up2"], s["up2"], dtype)
 
     # up1: fully packed (skip x1 never left packed layout)
     if fused_up1 and hh % 2 == 0 and up1_supported(2 * y_p.shape[1]):
@@ -449,7 +455,7 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
 
 
 def unet_forward(variables: Dict[str, Any], x: jax.Array,
-                 *, fused_up1: bool = False) -> jax.Array:
+                 *, fused_up1: bool = False, up2: str = "dense") -> jax.Array:
     """Engine forward of UNetTaskAligWeight: variables from model.init / the
     checkpoint converter; x (N, H, W, 3) -> logits (N, H, W, n_classes).
 
@@ -460,7 +466,15 @@ def unet_forward(variables: Dict[str, Any], x: jax.Array,
     official batch 128 (queue 9): e2e 1325.6 vs plain-dense 1313.6 img/s
     (fused tail 25.97 ms vs dense up1 30.36 level-scale), so this is the
     TwoStagePipeline default on TPU for dense-branch batches; falls back to
-    the dense tail on unsupported geometry."""
+    the dense tail on unsupported geometry.
+
+    up2 moves the dense->packed switch point one level earlier (only
+    meaningful with the fused_up1 tail, ignored otherwise): "dense" keeps
+    the dense up2 (queue-9 hybrid), "packed" runs the all-XLA packed-output
+    up2 (dense deconv+cca, split-sum packed emit — 15.89 ms at b128 vs
+    19.14 dense, queue 9/7), "fused" the Pallas up2 kernel. The queue-5
+    objection to fused up2 (it breaks XLA's cross-level fusion with up1's
+    deconv) does not apply here: up1 is already a Pallas call."""
     p = variables["params"]
     s = variables["batch_stats"]
     t = p["trunk"]
@@ -475,11 +489,21 @@ def unet_forward(variables: Dict[str, Any], x: jax.Array,
     _, out0 = _transformer(feats[4], feats[4], p["task2"], s["task2"])
     y = _up_alig(out0, feats[3], p["up4"], s["up4"])
     y = _up_alig(y, feats[2], p["up3"], s["up3"])
-    y = _up_alig(y, feats[1], p["up2"], s["up2"])
+    tail = False
     if fused_up1 and x.shape[2] % 2 == 0:
         from unet_goolenet_tpu.ops.pallas.up1 import up1_supported
-        if up1_supported(x1.shape[1]):
-            return P.unpack(unet_forward_packed_tail_fused(
-                variables, P.pack(y), P.pack(x1), x.dtype))
+        tail = up1_supported(x1.shape[1])
+    if tail and up2 != "dense":
+        from unet_goolenet_tpu.ops.pallas.up2 import up_level_supported
+        if up2 == "fused" and up_level_supported(2 * y.shape[1]):
+            y_p = _up2_fused(y, feats[1], p["up2"], s["up2"], x.dtype)
+        else:
+            y_p = _up2_packed_xla(y, feats[1], p["up2"], s["up2"], x.dtype)
+        return P.unpack(unet_forward_packed_tail_fused(
+            variables, y_p, P.pack(x1), x.dtype))
+    y = _up_alig(y, feats[1], p["up2"], s["up2"])
+    if tail:
+        return P.unpack(unet_forward_packed_tail_fused(
+            variables, P.pack(y), P.pack(x1), x.dtype))
     y = _up_alig(y, feats[0], p["up1"], s["up1"])
     return _conv1x1(y, p["outc"])

@@ -71,6 +71,10 @@ def export_serving(pipe, out_dir: str, *, source: str = "gray",
                        and pipe.dense_batch_min <= 1))
     if getattr(pipe, "dense_fused_up1", False) and dense_exported:
         fused.append("dense_fused_up1")
+        # the up2 switch point only takes effect together with the fused up1
+        # tail (engine.unet_forward ignores it otherwise)
+        if getattr(pipe, "dense_up2", "dense") == "fused":
+            fused.append("dense_up2")
     if fused and not keep_fused:
         raise ValueError(
             f"pipeline has Pallas levels enabled ({', '.join(fused)}); their "

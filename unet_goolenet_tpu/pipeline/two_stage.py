@@ -115,6 +115,7 @@ class TwoStagePipeline:
                  fused_up1: bool = None, fused_up2: bool = None,
                  fused_up34: bool = None, fused_down1: bool = None,
                  dense_batch_min: int = None, dense_fused_up1: bool = None,
+                 dense_up2: str = "dense",
                  mxu_preprocess: bool = None, mxu_roi: bool = None,
                  s2d_stem: bool = None):
         self.unet = unet
@@ -167,6 +168,10 @@ class TwoStagePipeline:
             # fused tail 25.97 ms vs dense up1 30.36. TPU-only (pltpu kernel).
             dense_fused_up1 = jax.default_backend() == "tpu"
         self.dense_fused_up1 = dense_fused_up1
+        # where the dense branch switches to packed layout: "dense" keeps
+        # dense up2 (queue-9 default), "packed"/"fused" run up2 packed-XLA /
+        # Pallas ahead of the fused up1 tail (A/B knob, engine.unet_forward)
+        self.dense_up2 = dense_up2
         if mxu_preprocess is None:
             # NCHW-layout preprocess resize: same per-channel math (parity in
             # tests/test_pipeline.py), better lane use on TPU
@@ -216,7 +221,8 @@ class TwoStagePipeline:
                 dense_batch_min is not None and dense_batch_min <= 1)
             if dense:
                 return _engine.unet_forward(unet_vars, imgs,
-                                            fused_up1=dense_fused_up1)
+                                            fused_up1=dense_fused_up1,
+                                            up2=dense_up2)
             return unet_engine_fwd_packed(unet_vars, imgs)
 
         def _seg(unet_vars, imgs):
