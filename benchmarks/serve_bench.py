@@ -10,6 +10,13 @@ benchmarks/ONCHIP_RUNBOOK.md):
     python benchmarks/serve_bench.py --mode artifact   # exported.call
     python benchmarks/serve_bench.py --mode batcher    # + MicroBatcher (host)
 
+--config pure (default) builds BOTH sides pure-XLA so live-vs-artifact
+isolates the serialization path. --config default builds the pipeline's
+production defaults (on TPU: the hybrid dense trunk + Pallas fused-up1 tail
+at batches >= 128) — combine with --static-batch to export the
+measured-fastest graph at a fixed production batch (a polymorphic export
+can only ship the packed graph; pipeline/export.py static_batch docs).
+
 live/artifact time repeated device calls on a device-resident input batch and
 fetch only the (N,) grades (tunnel ~1 MB/s: the input must never cross the
 link inside the timed region). batcher measures the host-side dispatcher
@@ -37,7 +44,7 @@ IMG_HW = tuple(int(v) for v in _raw.split("x"))
 REPS = 5
 
 
-def build(dtype_name: str):
+def build(dtype_name: str, config: str):
     import jax
     import jax.numpy as jnp
 
@@ -52,12 +59,15 @@ def build(dtype_name: str):
     uv = unet.init({"params": key}, jnp.zeros((1, SIZE, SIZE, 3)), train=False)
     gv = gnet.init({"params": key, "dropout": key},
                    jnp.zeros((1, SIZE, SIZE, 3)), train=False)
-    # pure-XLA config on BOTH sides so live-vs-artifact isolates the
-    # serialization path, not the Pallas kernels (which exports exclude)
+    if config == "pure":
+        # pure-XLA config on BOTH sides so live-vs-artifact isolates the
+        # serialization path, not the Pallas kernels (which exports exclude)
+        kw = dict(fused_up1=False, fused_up2=False, fused_up34=False,
+                  fused_down1=False, dense_fused_up1=False)
+    else:  # the pipeline's measured production defaults (hybrid on TPU)
+        kw = {}
     pipe = TwoStagePipeline(unet, uv, gnet, gv, img_size=SIZE, dtype=dtype,
-                            fused_up1=False, fused_up2=False,
-                            fused_up34=False, fused_down1=False,
-                            dense_fused_up1=False)
+                            **kw)
     gray = jax.random.uniform(key, (BATCH, *IMG_HW), jnp.float32, 0.0, 255.0)
     return pipe, jax.device_put(gray)
 
@@ -78,9 +88,14 @@ def main() -> None:
     p.add_argument("--mode", choices=["live", "artifact", "batcher"],
                    required=True)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--config", choices=["pure", "default"], default="pure")
+    p.add_argument("--static-batch", type=int, default=0,
+                   help="export at this fixed batch instead of symbolic N "
+                        "(0 = polymorphic). Required to ship the dense "
+                        "hybrid graph into the artifact.")
     args = p.parse_args()
 
-    pipe, gray = build(args.dtype)
+    pipe, gray = build(args.dtype, args.config)
 
     if args.mode == "live":
         fn = lambda: pipe.infer_grades(gray)  # noqa: E731
@@ -89,7 +104,12 @@ def main() -> None:
         from unet_goolenet_tpu.pipeline.export import (export_serving,
                                                        load_serving)
         with tempfile.TemporaryDirectory() as d:
-            export_serving(pipe, d, raw_hw=IMG_HW)
+            export_serving(pipe, d, raw_hw=IMG_HW,
+                           static_batch=args.static_batch or None,
+                           # production-default pipes may carry Pallas levels
+                           # (same-version same-backend artifact is fine for
+                           # a benchmark box)
+                           keep_fused=args.config == "default")
             runner = load_serving(d)
         if args.mode == "artifact":
             best = timeit(lambda: runner(gray))
@@ -102,8 +122,9 @@ def main() -> None:
             finally:
                 mb.close()
 
-    print(f"serve_bench mode={args.mode} dtype={args.dtype} batch={BATCH} "
-          f"raw={IMG_HW}: best {best * 1e3:.2f} ms/batch = "
+    print(f"serve_bench mode={args.mode} config={args.config} "
+          f"static_batch={args.static_batch or 'poly'} dtype={args.dtype} "
+          f"batch={BATCH} raw={IMG_HW}: best {best * 1e3:.2f} ms/batch = "
           f"{BATCH / best:.1f} img/s", flush=True)
 
 

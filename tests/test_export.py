@@ -101,6 +101,42 @@ def test_export_with_batch_policy(pipe, tmp_path, crossover):
     np.testing.assert_array_equal(np.asarray(runner(gray)), np.asarray(want))
 
 
+def test_static_batch_export_pads_and_chunks(pipe, tmp_path):
+    """static_batch exports fix N; the loaded runner serves any N by
+    zero-padding the last chunk and slicing the grades back (the fixed-shape
+    production pattern — pipeline/export.py static_batch docs)."""
+    meta = export_serving(pipe, str(tmp_path), raw_hw=RAW, static_batch=4)
+    assert meta["static_batch"] == 4
+    runner = load_serving(str(tmp_path))
+    for n in (4, 2, 9):  # exact, padded, chunked (4+4+pad)
+        gray = RNG.uniform(0, 255, (n, *RAW)).astype(np.float32)
+        want = pipe.infer_grades(jnp.asarray(gray))
+        got = runner(gray)
+        assert got.shape == (n,)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_static_batch_export_ships_dense_branch(pipe, tmp_path):
+    """A static batch makes the dense/packed crossover comparison conclusive,
+    so static_batch >= dense_batch_min exports the DENSE graph — and must
+    therefore refuse a dense_fused_up1 pipeline without keep_fused (the
+    Pallas custom call reaches the artifact), where the polymorphic export
+    of the same pipeline ships the packed graph and needs no opt-in."""
+    hpipe = TwoStagePipeline(pipe.unet, pipe.unet_vars, pipe.gnet,
+                             pipe.gnet_vars, img_size=S,
+                             dense_batch_min=4, dense_fused_up1=True)
+    with pytest.raises(ValueError, match="dense_fused_up1"):
+        export_serving(hpipe, str(tmp_path), raw_hw=RAW, static_batch=4)
+    # below the crossover the packed graph is exported: no Pallas, no opt-in
+    meta = export_serving(hpipe, str(tmp_path), raw_hw=RAW, static_batch=2)
+    assert meta["fused_levels"] == [] and meta["static_batch"] == 2
+    runner = load_serving(str(tmp_path))
+    gray = RNG.uniform(0, 255, (2, *RAW)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(runner(gray)),
+        np.asarray(hpipe.infer_grades(jnp.asarray(gray))))
+
+
 def test_single_platform_export(pipe, tmp_path):
     meta = export_serving(pipe, str(tmp_path), source="rgb",
                           platforms=("cpu",))

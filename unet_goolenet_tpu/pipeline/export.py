@@ -46,6 +46,7 @@ def _specs_like(tree):
 def export_serving(pipe, out_dir: str, *, source: str = "gray",
                    raw_hw: Tuple[int, int] | None = None,
                    keep_fused: bool = False,
+                   static_batch: int | None = None,
                    platforms: Tuple[str, ...] = ("cpu", "tpu")) -> dict:
     """Serialize `pipe`'s grades graph into `out_dir`. Returns the meta dict.
 
@@ -53,6 +54,14 @@ def export_serving(pipe, out_dir: str, *, source: str = "gray",
     (H, W) at export (the spatial preprocess is shape-specialised, exactly as
     in the --device-preprocess serving path); N stays symbolic.
     source="rgb": input is host-preprocessed (N, S, S, 3) in [0, 1].
+    static_batch: fix N at export instead of leaving it symbolic. A symbolic
+    N is inconclusive against the pipeline's dense/packed crossover so the
+    polymorphic artifact always ships the packed graph; a STATIC batch makes
+    the comparison conclusive, so static_batch >= dense_batch_min exports the
+    measured-fastest dense(+fused-up1-tail) graph at the production batch
+    (queue-9 hybrid, 1325.9 img/s at b128 vs the packed graph's 1235.7).
+    The loaded ServingArtifact pads/chunks any N to multiples of
+    static_batch on the host and slices the grades back to N.
     platforms: lowering targets baked into the artifact (cross-platform
     lowering — a CPU build box can produce the TPU serving artifact).
     """
@@ -65,10 +74,13 @@ def export_serving(pipe, out_dir: str, *, source: str = "gray",
     # dense_fused_up1 puts a Pallas call in the DENSE branch only; a symbolic
     # batch dim ships the packed graph (two_stage.unet_engine_fwd), so it can
     # reach the artifact only when the dense branch is what gets exported
-    # (dense_batch_min <= 1, or odd img_size with no packed forward at all)
+    # (dense_batch_min <= 1, odd img_size with no packed forward at all, or a
+    # static batch at/above the crossover)
+    dbm = getattr(pipe, "dense_batch_min", None)
     dense_exported = (getattr(pipe, "img_size", 0) % 2 == 1 or
-                      (getattr(pipe, "dense_batch_min", None) is not None
-                       and pipe.dense_batch_min <= 1))
+                      (dbm is not None and dbm <= 1) or
+                      (dbm is not None and static_batch is not None
+                       and static_batch >= dbm))
     if getattr(pipe, "dense_fused_up1", False) and dense_exported:
         fused.append("dense_fused_up1")
         # the up2 switch point only takes effect together with the fused up1
@@ -82,7 +94,12 @@ def export_serving(pipe, out_dir: str, *, source: str = "gray",
             "the pipeline with fused_*=False for export, or pass "
             "keep_fused=True to export anyway (same-version TPU only)")
 
-    b, = jexport.symbolic_shape("b")
+    if static_batch is not None:
+        if static_batch < 1:
+            raise ValueError(f"static_batch must be >= 1, got {static_batch}")
+        b = static_batch
+    else:
+        b, = jexport.symbolic_shape("b")
     if source == "gray":
         if raw_hw is None:
             raise ValueError("source='gray' needs raw_hw=(H, W)")
@@ -96,10 +113,17 @@ def export_serving(pipe, out_dir: str, *, source: str = "gray",
     else:
         raise ValueError(f"unknown source {source!r} (use 'gray' or 'rgb')")
 
+    export_kw = {}
     if keep_fused and fused:
-        # Pallas custom calls lower for the current backend only
+        # Pallas custom calls lower for the current backend only, and
+        # jax.export refuses custom-call targets without compatibility
+        # guarantees (the Mosaic `tpu_custom_call`) unless explicitly
+        # waived — which is exactly the keep_fused contract the caller
+        # opted into (same-version same-backend artifact).
         platforms = (jax.default_backend(),)
-    exp = jexport.export(fn, platforms=platforms)(
+        export_kw["disabled_checks"] = [
+            jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    exp = jexport.export(fn, platforms=platforms, **export_kw)(
         _specs_like(pipe.unet_vars), _specs_like(pipe.gnet_vars), in_spec)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -117,6 +141,7 @@ def export_serving(pipe, out_dir: str, *, source: str = "gray",
         "platforms": list(exp.platforms),
         "jax_version": jax.__version__,
         "fused_levels": fused,
+        "static_batch": static_batch,
     }
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -124,7 +149,14 @@ def export_serving(pipe, out_dir: str, *, source: str = "gray",
 
 
 class ServingArtifact:
-    """Loaded serving artifact: `artifact(batch)` -> (N,) int grades."""
+    """Loaded serving artifact: `artifact(batch)` -> (N,) int grades.
+
+    Batch-polymorphic artifacts run any N directly. static_batch artifacts
+    accept any N too: the runner pads the last chunk with zero images (the
+    pipeline's empty-mask centre-crop fallback grades them harmlessly,
+    reference 分类/ROI_main.py:70-74 semantics) and slices the grades back
+    to N — the standard fixed-shape production-serving pattern.
+    """
 
     def __init__(self, exported, variables, meta: dict):
         self._exported = exported
@@ -137,9 +169,23 @@ class ServingArtifact:
         # concrete batch shape like any jitted function.
         self._call = jax.jit(exported.call)
 
+    def _grades(self, x) -> jax.Array:
+        return self._call(self._vars["unet"], self._vars["gnet"], x)
+
     def __call__(self, batch) -> jax.Array:
-        return self._call(self._vars["unet"], self._vars["gnet"],
-                          jnp.asarray(batch, jnp.float32))
+        x = jnp.asarray(batch, jnp.float32)
+        sb = self.meta.get("static_batch")
+        if not sb or x.shape[0] == sb:
+            return self._grades(x)
+        n = x.shape[0]
+        out = []
+        for i in range(0, n, sb):
+            chunk = x[i:i + sb]
+            if chunk.shape[0] < sb:
+                pad = jnp.zeros((sb - chunk.shape[0],) + x.shape[1:], x.dtype)
+                chunk = jnp.concatenate([chunk, pad])
+            out.append(self._grades(chunk))
+        return jnp.concatenate(out)[:n]
 
 
 def load_serving(out_dir: str) -> ServingArtifact:
