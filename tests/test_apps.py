@@ -1,6 +1,7 @@
 """End-to-end CLI integration: the four entry points chained on a tiny synthetic
 BUSI-style dataset, exactly as a user would run them (SURVEY.md §1 entry points)."""
 
+import json
 import os
 
 import numpy as np
@@ -99,6 +100,19 @@ def test_full_cli_chain(data_root, tmp_path):
     ])
     dev_lines = open(os.path.join(out_dev, "result.txt")).read().strip().splitlines()
     assert dev_lines == lines
+
+    # deployment export off the same checkpoints: --static-batch fixes N in
+    # the graph, --check asserts artifact-vs-live grade parity on reload
+    from unet_goolenet_tpu.apps import export_serving as export_app
+
+    art = str(tmp_path / "artifact")
+    export_app.main([
+        "--unet-checkpoint", seg_ckpt, "--gnet-checkpoint", cls_ckpt,
+        "--raw-hw", "40", "48", "--out-dir", art, "--img-size", str(S),
+        "--static-batch", "2", "--platforms", "cpu", "--check",
+    ])
+    meta = json.load(open(os.path.join(art, "meta.json")))
+    assert meta["static_batch"] == 2 and meta["fused_levels"] == []
 
 
 def test_main_dispatcher(capsys):

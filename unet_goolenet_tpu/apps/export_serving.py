@@ -45,6 +45,18 @@ def parse_args(argv=None):
                    choices=["cpu", "tpu", "cuda"],
                    help="lowering targets baked into the artifact (default: "
                         "cpu tpu — a CPU build box emits the TPU artifact)")
+    p.add_argument("--static-batch", type=int, default=0,
+                   help="fix the batch at export instead of symbolic N "
+                        "(0 = batch-polymorphic). The loaded runner serves "
+                        "any N by pad+chunk+slice. A static batch at/above "
+                        "the dense crossover ships the measured-fastest "
+                        "dense graph (export.py static_batch docs)")
+    p.add_argument("--keep-fused", action="store_true",
+                   help="build the pipeline with its production defaults "
+                        "(Pallas fused levels on TPU) and export them into "
+                        "the artifact — fastest, but same-jax-version "
+                        "same-backend only; combine with --static-batch >= "
+                        "128 to ship the hybrid dense+fused-up1 graph")
     return p.parse_args(argv)
 
 
@@ -55,20 +67,28 @@ def main(argv=None):
     key = seed_everything()
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    # pure-XLA graph: portable StableHLO, no Pallas custom calls (export.py)
+    if args.keep_fused:
+        # production defaults (Pallas fused levels where measured fastest)
+        fused_kw = {}
+    else:
+        # pure-XLA graph: portable StableHLO, no Pallas custom calls (export.py)
+        fused_kw = dict(fused_up1=False, fused_up2=False, fused_up34=False,
+                        fused_down1=False, dense_fused_up1=False)
     pipe = load_two_stage(
         args.unet_checkpoint, args.gnet_checkpoint, key,
         img_size=args.img_size, num_classes=args.num_classes, dtype=dtype,
-        fused_up1=False, fused_up2=False, fused_up34=False, fused_down1=False,
-        dense_fused_up1=False)
+        **fused_kw)
 
     meta = export_serving(pipe, args.out_dir, source=args.source,
                           raw_hw=tuple(args.raw_hw) if args.raw_hw else None,
+                          static_batch=args.static_batch or None,
+                          keep_fused=args.keep_fused,
                           platforms=tuple(args.platforms))
     print(f"exported {meta['source']} serving graph "
           f"(raw_hw={meta['raw_hw']}, img_size={meta['img_size']}, "
-          f"dtype={meta['dtype']}, platforms={meta['platforms']}) "
-          f"to {args.out_dir}", flush=True)
+          f"dtype={meta['dtype']}, platforms={meta['platforms']}, "
+          f"static_batch={meta['static_batch']}, "
+          f"fused={meta['fused_levels']}) to {args.out_dir}", flush=True)
 
     if args.check:
         runner = load_serving(args.out_dir)
