@@ -75,6 +75,13 @@ def measure_ours() -> float:
     up2_env = os.environ.get("BENCH_UP2")
     if up2_env in ("packed", "fused"):
         fused_kw["dense_up2"] = up2_env
+    # BENCH_GLUE=0 turns OFF the MXU-form serving glue (NCHW-layout preprocess
+    # resize, weight-matrix ROI crop, space-to-depth GoogLeNet stem) that is
+    # default-on on TPU — the A/B for that default-on policy (queue 14).
+    glue_env = os.environ.get("BENCH_GLUE")
+    if glue_env is not None:
+        v = glue_env != "0"
+        fused_kw.update(mxu_preprocess=v, mxu_roi=v, s2d_stem=v)
 
     def build(**kw):
         pipe = TwoStagePipeline(unet, uv, gnet, gv, img_size=SIZE, dtype=dtype,
