@@ -115,9 +115,14 @@ def measure_ours() -> float:
         # XLA graph, which is the measured r2b configuration.
         print(f"[bench] fused pipeline compile failed ({type(e).__name__}); "
               f"falling back to packed XLA graph", file=sys.stderr)
-        pipe, run_many = build(fused_up1=False, fused_up2=False,
-                               fused_up34=False, fused_down1=False,
-                               dense_fused_up1=False)
+        # Preserve every explicit A/B env override (BENCH_GLUE / BENCH_MODE /
+        # BENCH_UP2 / ...) in the fallback build — only the Pallas fused
+        # levels are disabled. Otherwise a BENCH_GLUE=0 run that trips this
+        # path would silently measure the glue-ON configuration (ADVICE r3).
+        fb_kw = dict(fused_kw, fused_up1=False, fused_up2=False,
+                     fused_up34=False, fused_down1=False,
+                     dense_fused_up1=False)
+        pipe, run_many = build(**fb_kw)
         _ = np.asarray(run_many(pipe.unet_vars, pipe.gnet_vars, grays))
     best = float("inf")
     for _ in range(3):

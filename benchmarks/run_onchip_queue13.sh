@@ -42,7 +42,7 @@ step() {
   echo "=== STEP [$name] exit=$rc end $(date -u) ==="
   if [ $rc -ne 0 ]; then
     echo "=== step [$name] failed; probing worker health $(date -u) ==="
-    if ! python -c "import jax, numpy; print(numpy.asarray(jax.numpy.ones(1) + 1))"; then
+    if ! timeout 300 python -c "import jax, numpy; print(numpy.asarray(jax.numpy.ones(1) + 1))"; then
       echo "=== ABORT: worker probe failed after [$name] at $(date -u) ==="
       exit 1
     fi
