@@ -72,6 +72,13 @@ def parse_args(argv=None):
                    help="mixed-precision training: bf16 compute, f32 params/"
                         "optimizer (standard TPU recipe; the reference trains "
                         "f32, so this is an opt-in performance mode)")
+    p.add_argument("--remat", default="",
+                   help="comma-separated jax.checkpoint scopes for the "
+                        "engine forward: up1,up2,inc (per level), all (whole "
+                        "forward), first (refinement pass 0 only). Opt-in "
+                        "memory/compute trade — measured SLOWER at the "
+                        "flagship batch sizes (RESULTS.md queues 6b, 16); "
+                        "for memory-limited regimes")
     p.add_argument("--flat-opt", action="store_true",
                    help="AdamW on one raveled parameter vector instead of "
                         "per-leaf (optim.make_adamw_flat; identical update "
@@ -157,8 +164,12 @@ def main(argv=None):
         train_step = make_sharded_seg_train_step(model, tx, mesh)
     else:
         fwd = "engine-packed" if args.engine_forward else "flax"
-        train_step = jax.jit(make_seg_train_step(model, tx, forward=fwd),
-                             donate_argnums=0)
+        remat = tuple(args.remat.split(",")) if args.remat else ()
+        if remat and not args.engine_forward:
+            raise SystemExit("--remat requires --engine-forward")
+        train_step = jax.jit(
+            make_seg_train_step(model, tx, forward=fwd, remat=remat),
+            donate_argnums=0)
         put = lambda b: b
         lr_put = lambda v: v
     eval_step = jax.jit(make_seg_eval_step(model))

@@ -48,9 +48,11 @@ def make_seg_train_step(
     pixel-packed train forward (pipeline/engine_train.py) — same math to float
     tolerance, measured faster on TPU (benchmarks/RESULTS.md); flagship
     UNetTaskAligWeight with even image width only. remat selects engine
-    levels to jax.checkpoint (see unet_forward_packed_train), or ("all",) to
-    rematerialise the whole forward; identical values, backward trades HBM
-    loads of saved activations for recompute.
+    levels to jax.checkpoint (see unet_forward_packed_train), ("all",) to
+    rematerialise the whole forward, or ("first",) to checkpoint ONLY the
+    refinement's pass-0 forward (pass 1 keeps its activations — the
+    refinement-scoped HBM trade, VERDICT r3 ask #7); identical values,
+    backward trades HBM loads of saved activations for recompute.
 
     unravel (from flatten_seg_state) switches the step to FLAT-STATE training:
     state.params is ONE raveled f32 vector, unravel()'d inside the loss so
@@ -68,11 +70,11 @@ def make_seg_train_step(
         from unet_goolenet_tpu.pipeline.engine_train import (
             unet_forward_packed_train,
         )
-        bad = set(remat) - {"all", "up1", "up2", "inc"}
+        bad = set(remat) - {"all", "up1", "up2", "inc", "first"}
         if bad:
             raise ValueError(f"unknown remat level(s) {sorted(bad)}; "
-                             f"choose from up1, up2, inc, all")
-        level_remat = tuple(r for r in remat if r != "all")
+                             f"choose from up1, up2, inc, all, first")
+        level_remat = tuple(r for r in remat if r not in ("all", "first"))
 
         def fwd(p, batch_stats, imgs):
             # the engine's compute dtype is the input dtype; honour the
@@ -99,15 +101,20 @@ def make_seg_train_step(
     else:
         raise ValueError(f"unknown forward {forward!r}")
 
+    remat_first = forward == "engine-packed" and "first" in remat
+
     if unravel is not None:
         tree_fwd = fwd
 
         def fwd(p, batch_stats, imgs):
             return tree_fwd(unravel(p), batch_stats, imgs)
 
-    def one_pass(params, batch_stats, opt_state, imgs, labels):
+    def one_pass(params, batch_stats, opt_state, imgs, labels,
+                 fwd_fn=None):
+        fwd_fn = fwd_fn or fwd
+
         def losses(p):
-            out, new_stats = fwd(p, batch_stats, imgs)
+            out, new_stats = fwd_fn(p, batch_stats, imgs)
             return loss_fn(out, labels), (out, new_stats)
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(losses, has_aux=True)(params)
@@ -128,8 +135,14 @@ def make_seg_train_step(
                     axis=tuple(range(1, temp.ndim)), keepdims=True,
                 )
                 cur_imgs = cur_imgs + temp * conf  # main.py:175: imgs compound
+            # remat=('first',): checkpoint ONLY pass 0's forward — its
+            # backward recomputes activations instead of holding a second
+            # full activation set in HBM alongside pass 1's, the refinement-
+            # scoped alternative to the measured-negative whole-graph remat
+            # (RESULTS.md queue 6b; VERDICT r3 ask #7)
+            pass_fwd = jax.checkpoint(fwd) if (remat_first and i == 0) else None
             params, stats, opt_state, loss, out = one_pass(
-                params, stats, opt_state, cur_imgs, labels
+                params, stats, opt_state, cur_imgs, labels, fwd_fn=pass_fwd
             )
             if i == 0:
                 temp = jax.lax.stop_gradient(out)  # main.py:162 detach
