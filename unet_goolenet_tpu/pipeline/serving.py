@@ -37,7 +37,7 @@ import queue
 import threading
 import time
 from collections import Counter, deque
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer as _ThreadingHTTPServer
 from typing import Callable, Sequence
 
 import numpy as np
@@ -104,7 +104,9 @@ class MicroBatcher:
         self._stats_lock = threading.Lock()
         self.device_calls = 0             # batches dispatched
         self.images_total = 0             # real (unpadded) images graded
-        self.batch_hist: Counter = Counter()      # real batch size -> count
+        self.batch_hist: Counter = Counter()      # DEVICE batch size -> count
+        # (padded size: the compile-bound contract is <= log2(max_batch)+1
+        # distinct device shapes — measured under load in RESULTS.md q15)
         self.call_ms: deque = deque(maxlen=4096)  # recent device-call times
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="microbatcher")
@@ -229,7 +231,7 @@ class MicroBatcher:
                     self.call_ms.append((time.monotonic() - t0) * 1e3)
                     self.device_calls += 1
                     self.images_total += n
-                    self.batch_hist[n] += 1
+                    self.batch_hist[padded_n] += 1
                 for p, g in zip(items, grades[:n]):
                     p.grade = int(g)
                     p.event.set()
@@ -239,6 +241,16 @@ class MicroBatcher:
                     p.event.set()
             if closing:
                 return
+
+
+class ThreadingHTTPServer(_ThreadingHTTPServer):
+    """stdlib ThreadingHTTPServer with a production listen backlog: the
+    default request_queue_size of 5 resets connections under concurrent
+    load (measured: 137 ECONNRESET at 64 closed-loop clients, RESULTS.md
+    queue 15) long before the batcher or the chip saturates."""
+
+    request_queue_size = 128
+    daemon_threads = True
 
 
 class GradingServer:
