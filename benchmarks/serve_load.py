@@ -104,10 +104,12 @@ def get_healthz(port: int):
         conn.close()
 
 
-def run_load(port: int, n_clients: int, seconds: float) -> dict:
+def run_load(port: int, n_clients: int, seconds: float,
+             req_batch: int = 1) -> dict:
     rng = np.random.default_rng(0)
-    bodies = [npy_bytes(rng.uniform(0, 255, RAW_HW).astype(np.float32))
-              for _ in range(8)]
+    shape = RAW_HW if req_batch == 1 else (req_batch, *RAW_HW)
+    bodies = [npy_bytes(rng.uniform(0, 255, shape).astype(np.float32))
+              for _ in range(4 if req_batch > 1 else 8)]
     latencies: list[float] = []
     errors: list[str] = []
     count = [0]
@@ -123,11 +125,11 @@ def run_load(port: int, n_clients: int, seconds: float) -> dict:
                 dt = time.perf_counter() - t0
                 if status != 200:
                     raise RuntimeError(f"status {status}: {data}")
-                g = data["grades"][0] if "grades" in data else data["grade"]
-                assert 0 <= int(g) < 6, g
+                gs = data["grades"] if "grades" in data else [data["grade"]]
+                assert all(0 <= int(g) < 6 for g in gs), gs
                 with lock:
                     latencies.append(dt)
-                    count[0] += 1
+                    count[0] += len(gs)
             except Exception as e:  # noqa: BLE001 - report and keep looping
                 with lock:
                     errors.append(f"{type(e).__name__}: {e}")
@@ -166,6 +168,12 @@ def main() -> None:
     ap.add_argument("--mode", choices=["live", "live-dp", "artifact"],
                     default="live")
     ap.add_argument("--clients", type=int, nargs="+", default=[1, 8, 32])
+    ap.add_argument("--req-batch", type=int, default=1,
+                    help="images per POST (batched .npy). On a 1-core host "
+                         "64 single-image closed-loop clients saturate the "
+                         "CLIENT CPU (np.save + HTTP per 0.8 MB image) long "
+                         "before the server; batched posts measure the "
+                         "server's HTTP-path capacity instead")
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
@@ -223,13 +231,13 @@ def main() -> None:
             raise SystemExit("server never came up")
 
         print(f"\n## serve.py under load — mode={args.mode}, "
-              f"max_batch={args.max_batch}, "
+              f"max_batch={args.max_batch}, req_batch={args.req_batch}, "
               f"max_wait={args.max_wait_ms}ms, {args.seconds:.0f}s/point\n",
               flush=True)
         print("| clients | img/s | p50 ms | p95 ms | mean ms | errors |")
         print("|---|---|---|---|---|---|")
         for n in args.clients:
-            r = run_load(args.port, n, args.seconds)
+            r = run_load(args.port, n, args.seconds, args.req_batch)
             print(f"| {r['clients']} | {r['img_per_s']} | {r['p50_ms']} | "
                   f"{r['p95_ms']} | {r['mean_ms']} | {r['errors']} |",
                   flush=True)
