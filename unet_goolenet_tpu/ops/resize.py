@@ -17,6 +17,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _weight_mat(n_in: int, n_out: int, antialias: bool) -> jax.Array:
+    """(n_out, n_in) separable resize weight matrix — exactly
+    jax.image.resize's per-axis weights, extracted by resizing the identity
+    (the per-axis resize is linear). Constant-folded at compile time for
+    static shapes."""
+    eye = jnp.eye(n_in, dtype=jnp.float32)
+    return jax.image.resize(eye, (n_out, n_in), method="linear",
+                            antialias=antialias)
+
+
 def resize_bilinear(
     x: jax.Array, out_hw: Tuple[int, int], *, antialias: bool = True,
     channel_first: bool = False
@@ -24,13 +34,23 @@ def resize_bilinear(
     """Bilinear resize of NHWC (or HWC / HW) images to (oh, ow).
 
     channel_first=True treats rank-4 input as NCHW / rank-3 as CHW — the
-    MXU-friendly layout on TPU: the separable resize lowers to weight-matrix
-    dots whose minor dim stays the image width instead of the (lane-padded)
-    3-channel stack."""
+    MXU-friendly layout on TPU: the separable resize runs as two explicit
+    f32 einsum contractions against identity-derived weight matrices (same
+    values as jax.image.resize to float noise — the weights ARE
+    jax.image.resize's, see _weight_mat; precision='highest' keeps the f32
+    semantics on TPU). Measured 2.87 vs 3.87 ms at b128 400x500->224^2 for
+    the batched-gather schedule jax.image.resize picks on TPU
+    (benchmarks/resize_probe.py, RESULTS.md queue 18)."""
     oh, ow = out_hw
+    if x.ndim == 4 and channel_first:
+        a = _weight_mat(x.shape[2], oh, antialias)
+        bm = _weight_mat(x.shape[3], ow, antialias)
+        xh = jnp.einsum("oh,nchw->ncow", a, x.astype(jnp.float32),
+                        precision="highest")
+        out = jnp.einsum("pw,ncow->ncop", bm, xh, precision="highest")
+        return out.astype(x.dtype)
     if x.ndim == 4:
-        shape = ((x.shape[0], x.shape[1], oh, ow) if channel_first
-                 else (x.shape[0], oh, ow, x.shape[3]))
+        shape = (x.shape[0], oh, ow, x.shape[3])
     elif x.ndim == 3:
         shape = (x.shape[0], oh, ow) if channel_first else (oh, ow, x.shape[2])
     elif x.ndim == 2:
