@@ -306,100 +306,72 @@ def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wgy_ref,
             start_in(nt // n_t, jax.lax.rem(nt, n_t), 1 - slot)
 
     sel_a, sel_b = _sel_masks(wp, c2)
+    if "nodma" not in _ABLATE:
+        _halo_wait(x_ref, xbuf.at[slot], sems.at[slot, 0], ni, i, n_t,
+                   th // 2, 2)
     build = ((lambda s, out_dt: s.astype(out_dt)) if "nobuild" in _ABLATE
              else (lambda s, out_dt: _build_u(s, sel_a, sel_b, out_dt)))
 
-    def compute(masked: bool) -> None:
-        """The whole per-tile chain. masked=True is the boundary-tile body
-        (row-validity masks zero out-of-image halo rows); interior tiles
-        run masked=False and skip every mask build/multiply — the masks are
-        identity there (the window [a-4, a+th+4) sits fully inside [0, h)),
-        and the nomask ablation measured them at ~2 ms across the b128 grid
-        (RESULTS.md queue 17)."""
-        masked = masked and "nomask" not in _ABLATE
-        if "nodma" not in _ABLATE:
-            _halo_wait(x_ref, xbuf.at[slot], sems.at[slot, 0], ni, i, n_t,
-                       th // 2, 2)
+    # ---- deconv: x rows [a/2-2, a/2+th/2+2) -> up rows [a-4, a+th+4) ----
+    x = xbuf[slot]                                  # (rx, wp//2, c2)
+    xm = x.reshape(rx * (wp // 2), c2)
+    o0 = jnp.dot(xm, wd_ref[0], preferred_element_type=jnp.float32)
+    o1 = jnp.dot(xm, wd_ref[1], preferred_element_type=jnp.float32)
+    o0 = o0.reshape(rx, wp, c2)                     # (.., 2, 2C) col-interleave
+    o1 = o1.reshape(rx, wp, c2)
+    upf = jnp.stack([o0, o1], axis=1).reshape(2 * rx, wp, c2)
+    # ONE row-validity mask for the whole step: rows [a-4, a+th+4) cover
+    # every stage's window; the per-stage masks below are row slices of it
+    # (three separate iota+div+cmp builds measured ~1 ms across the grid)
+    m_full = _row_mask(2 * rx, a - 4, h, wp)
+    upm = m_full.reshape(2 * rx, wp, 1)
+    if "nomask" not in _ABLATE:
+        upf = upf + bias_ref[3][None, None, :] * upm
+    up = upf.astype(dtype)
+    u_up = build(upf, dtype)                        # shared by d2 + pair conv
 
-        # ---- deconv: x rows [a/2-2, a/2+th/2+2) -> up rows [a-4, a+th+4) --
-        x = xbuf[slot]                              # (rx, wp//2, c2)
-        xm = x.reshape(rx * (wp // 2), c2)
-        o0 = jnp.dot(xm, wd_ref[0], preferred_element_type=jnp.float32)
-        o1 = jnp.dot(xm, wd_ref[1], preferred_element_type=jnp.float32)
-        o0 = o0.reshape(rx, wp, c2)                 # (.., 2, 2C) interleave
-        o1 = o1.reshape(rx, wp, c2)
-        upf = jnp.stack([o0, o1], axis=1).reshape(2 * rx, wp, c2)
-        if masked:
-            # ONE row-validity mask for the whole step: rows [a-4, a+th+4)
-            # cover every stage's window; the per-stage masks below are row
-            # slices of it (three separate iota+div+cmp builds measured
-            # ~1 ms across the grid)
-            m_full = _row_mask(2 * rx, a - 4, h, wp)
-            upf = upf + bias_ref[3][None, None, :] * m_full.reshape(
-                2 * rx, wp, 1)
-        else:
-            upf = upf + bias_ref[3][None, None, :]
-        up = upf.astype(dtype)
-        u_up = build(upf, dtype)                    # shared by d2 + pair conv
+    # ---- merged d2 + pair-up conv: rows [a-2, a+th+2), one K=6C N=4C dot
+    # (the pair conv's up-operand contribution is computed on d2's slightly
+    # wider row window and row-sliced below — 2 extra rows of FLOPs buys
+    # sharing ONE cat operand between both convs) ----
+    # Halo rows outside the real image must be ZERO (the next conv's zero
+    # padding): the window overlaps real rows there, so mask the whole
+    # output, not just the bias.
+    n_d2 = th + 4
+    cat = _cat6(up, u_up, n_d2, 1, wp, c2)
+    acc2 = jnp.dot(cat, wup2_ref[:], preferred_element_type=jnp.float32)
+    accd = jnp.maximum(acc2[:, :c2] + bias_ref[0][None, :], 0.0)
+    if "nomask" not in _ABLATE:
+        accd = accd * m_full[2 * wp:(2 + n_d2) * wp]
+    d2 = accd.astype(dtype).reshape(n_d2, wp, c2)
+    pair_up = acc2[:, c2:].reshape(n_d2, wp, c2)
 
-        # ---- merged d2 + pair-up conv: rows [a-2, a+th+2), one K=6C N=4C
-        # dot (the pair conv's up-operand contribution is computed on d2's
-        # slightly wider row window and row-sliced below — 2 extra rows of
-        # FLOPs buys sharing ONE cat operand between both convs) ----
-        # Halo rows outside the real image must be ZERO (the next conv's
-        # zero padding): the window overlaps real rows there, so mask the
-        # whole output, not just the bias.
-        n_d2 = th + 4
-        cat = _cat6(up, u_up, n_d2, 1, wp, c2)
-        acc2 = jnp.dot(cat, wup2_ref[:], preferred_element_type=jnp.float32)
-        accd = jnp.maximum(acc2[:, :c2] + bias_ref[0][None, :], 0.0)
-        if masked:
-            accd = accd * m_full[2 * wp:(2 + n_d2) * wp]
-        d2 = accd.astype(dtype).reshape(n_d2, wp, c2)
-        pair_up = acc2[:, c2:].reshape(n_d2, wp, c2)
+    # ---- gated = e1 + (1 + gate) * d2, rows [a-2, a+th+2) ----
+    if "nodma" not in _ABLATE:
+        _halo_wait(e1_ref, e1buf.at[slot], sems.at[slot, 1], ni, i, n_t,
+                   th, 2)
+    gated = e1buf[slot] + (gate_ref[0, 0][None, None, :] * d2).astype(dtype)
+    u_gated = build(gated, dtype)
 
-        # ---- gated = e1 + (1 + gate) * d2, rows [a-2, a+th+2) ----
-        if "nodma" not in _ABLATE:
-            _halo_wait(e1_ref, e1buf.at[slot], sems.at[slot, 1], ni, i, n_t,
-                       th, 2)
-        gated = e1buf[slot] + (gate_ref[0, 0][None, None, :] * d2).astype(
-            dtype)
-        u_gated = build(gated, dtype)
+    # ---- h = relu(conv(up, Wa) + conv(gated, Wb) + b), rows [a-1, a+th+1) --
+    n_h = th + 2
+    acc = pair_up[1:1 + n_h].reshape(n_h * wp, c2)
+    cat = _cat6(gated, u_gated, n_h, 0, wp, c2)
+    acc = acc + jnp.dot(cat, wgy_ref[0], preferred_element_type=jnp.float32)
+    acc = jnp.maximum(acc + bias_ref[1][None, :], 0.0)
+    if "nomask" not in _ABLATE:
+        acc = acc * m_full[3 * wp:(3 + n_h) * wp]
+    hhf = acc.reshape(n_h, wp, c2)
+    hh = hhf.astype(dtype)
+    u_hh = build(hhf, dtype)
 
-        # ---- h = relu(conv(up, Wa) + conv(gated, Wb) + b),
-        # rows [a-1, a+th+1) ----
-        n_h = th + 2
-        acc = pair_up[1:1 + n_h].reshape(n_h * wp, c2)
-        cat = _cat6(gated, u_gated, n_h, 0, wp, c2)
-        acc = acc + jnp.dot(cat, wgy_ref[0],
-                            preferred_element_type=jnp.float32)
-        acc = jnp.maximum(acc + bias_ref[1][None, :], 0.0)
-        if masked:
-            acc = acc * m_full[3 * wp:(3 + n_h) * wp]
-        hhf = acc.reshape(n_h, wp, c2)
-        hh = hhf.astype(dtype)
-        u_hh = build(hhf, dtype)
-
-        # ---- y = relu(conv(h) + b), rows [a, a+th); then outc 1x1 ----
-        cat = _cat6(hh, u_hh, th, 0, wp, c2)
-        acc = jnp.dot(cat, wgy_ref[1], preferred_element_type=jnp.float32)
-        y = jnp.maximum(acc + bias_ref[2][None, :], 0.0).astype(dtype)
-        logits = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
-        logits = logits + b1_ref[0][None, :]
-        out_ref[0] = logits.reshape(th, wp, ncls2).astype(out_ref.dtype)
-
-    if n_t == 1:
-        compute(True)
-    else:
-        interior = (i > 0) & (i < n_t - 1)
-
-        @pl.when(jnp.logical_not(interior))
-        def _():
-            compute(True)
-
-        @pl.when(interior)
-        def _():
-            compute(False)
+    # ---- y = relu(conv(h) + b), rows [a, a+th); then outc 1x1 ----
+    cat = _cat6(hh, u_hh, th, 0, wp, c2)
+    acc = jnp.dot(cat, wgy_ref[1], preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc + bias_ref[2][None, :], 0.0).astype(dtype)
+    logits = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    logits = logits + b1_ref[0][None, :]
+    out_ref[0] = logits.reshape(th, wp, ncls2).astype(out_ref.dtype)
 
 
 # ---------------------------------------------------- gate-pass kernel
