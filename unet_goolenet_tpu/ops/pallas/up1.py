@@ -96,7 +96,10 @@ def pick_tile(h: int, candidates, *, min_tile: int = 1,
 # (tile=th//2, halo=2) -> th >= 4; the gate pass uses (th, halo=1) -> any th.
 UP1_TILES = (56, 28, 16, 14, 8, 4, 2)
 UP1_MIN_TILE = 4
-GATE_TILES = (56, 32, 28, 16, 8, 4, 2, 1)
+# 112 first: the queue-17 gate sweep measured t112 0.87 vs t56 0.93 ms at
+# b128 (fewer grid steps amortise the per-step cat-build better; the gate
+# kernel's halo is 1 so any tile is DMA-safe)
+GATE_TILES = (112, 56, 32, 28, 16, 8, 4, 2, 1)
 
 
 def up1_supported(h: int) -> bool:
