@@ -78,6 +78,10 @@ def measure_ours() -> float:
     # BENCH_GLUE=0 turns OFF the MXU-form serving glue (NCHW-layout preprocess
     # resize, weight-matrix ROI crop, space-to-depth GoogLeNet stem) that is
     # default-on on TPU — the A/B for that default-on policy (queue 14).
+    # BENCH_FAST_RESIZE=1 opts into the bf16-precision preprocess resize
+    # (~1 uint8-level value delta — NOT the parity default; A/B knob only)
+    if os.environ.get("BENCH_FAST_RESIZE") == "1":
+        fused_kw["fast_resize"] = True
     glue_env = os.environ.get("BENCH_GLUE")
     if glue_env is not None:
         v = glue_env != "0"

@@ -201,3 +201,22 @@ class TestMxuGlue:
                                       np.asarray(a["boxes"]))
         np.testing.assert_allclose(np.asarray(b["seg_logits"]),
                                    np.asarray(a["seg_logits"]), atol=1e-3)
+
+    def test_fast_resize_optin(self):
+        """fast_resize=True (bf16-precision resize dots, opt-in — RESULTS.md
+        queue 18) builds and grades; on CPU the precision hint is a no-op so
+        outputs match the mxu default exactly."""
+        ref = build_pipeline_kw(mxu_preprocess=True, mxu_roi=True)
+        fast = build_pipeline_kw(mxu_preprocess=True, mxu_roi=True,
+                                 fast_resize=True)
+        assert fast.fast_resize
+        fast.unet_vars, fast.gnet_vars = ref.unet_vars, ref.gnet_vars
+        gray = jax.random.uniform(KEY, (2, 100, 120)) * 255
+        a = ref.infer_from_gray(gray)
+        b = fast.infer_from_gray(gray)
+        np.testing.assert_array_equal(np.asarray(b["grades"]),
+                                      np.asarray(a["grades"]))
+        # fast_resize only applies on the mxu path: without it, the flag is
+        # inert (guard against silently shipping it into the parity path)
+        plain = build_pipeline_kw(mxu_preprocess=False, fast_resize=True)
+        assert not plain.fast_resize

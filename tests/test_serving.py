@@ -143,6 +143,10 @@ def test_http_healthz_and_errors(server):
     assert h["images"] == srv.batcher.images_total
     assert h["call_ms_p50"] is not None and h["call_ms_p50"] > 0
     assert sum(h["batch_size_histogram"].values()) == h["device_calls"]
+    # the histogram records PADDED device batches (the compile-bound audit
+    # surface, RESULTS.md queue 15): every key is a pow2 bucket
+    for k in h["batch_size_histogram"]:
+        assert int(k) & (int(k) - 1) == 0, k
 
     bad = RNG.uniform(0, 255, (2, 10, 10)).astype(np.float32)  # wrong raw_hw
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -29,7 +29,7 @@ def _weight_mat(n_in: int, n_out: int, antialias: bool) -> jax.Array:
 
 def resize_bilinear(
     x: jax.Array, out_hw: Tuple[int, int], *, antialias: bool = True,
-    channel_first: bool = False
+    channel_first: bool = False, precision: str = "highest"
 ) -> jax.Array:
     """Bilinear resize of NHWC (or HWC / HW) images to (oh, ow).
 
@@ -40,14 +40,20 @@ def resize_bilinear(
     jax.image.resize's, see _weight_mat; precision='highest' keeps the f32
     semantics on TPU). Measured 2.87 vs 3.87 ms at b128 400x500->224^2 for
     the batched-gather schedule jax.image.resize picks on TPU
-    (benchmarks/resize_probe.py, RESULTS.md queue 18)."""
+    (benchmarks/resize_probe.py, RESULTS.md queue 18).
+
+    precision applies to the einsum path only: "highest" (default) keeps
+    exact f32 reference semantics; "default" lets the MXU run the dots at
+    bf16 input precision — 1.35 vs 2.87 ms at b128, value delta ~5e-3 on
+    [0,1] images (~1 uint8 quantization level; opt-in via
+    TwoStagePipeline(fast_resize=True), NOT reference parity)."""
     oh, ow = out_hw
     if x.ndim == 4 and channel_first:
         a = _weight_mat(x.shape[2], oh, antialias)
         bm = _weight_mat(x.shape[3], ow, antialias)
         xh = jnp.einsum("oh,nchw->ncow", a, x.astype(jnp.float32),
-                        precision="highest")
-        out = jnp.einsum("pw,ncow->ncop", bm, xh, precision="highest")
+                        precision=precision)
+        out = jnp.einsum("pw,ncow->ncop", bm, xh, precision=precision)
         return out.astype(x.dtype)
     if x.ndim == 4:
         shape = (x.shape[0], oh, ow, x.shape[3])

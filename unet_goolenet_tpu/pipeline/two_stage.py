@@ -35,6 +35,7 @@ from unet_goolenet_tpu.pipeline import engine as _engine
 def preprocess_gray(
     gray: jax.Array, *, out_hw: Tuple[int, int] = (224, 224),
     quantize_uint8: bool = True, mxu_layout: bool = False,
+    fast_resize: bool = False,
 ) -> jax.Array:
     """(N, H, W) raw grayscale [0,255] -> (N, oh, ow, 3) wavelet pseudo-RGB in [0,1].
 
@@ -49,8 +50,9 @@ def preprocess_gray(
     enhanced = jax.vmap(partial(ops.wavelet_enhance, quantize_uint8=quantize_uint8,
                                 channel_first=mxu_layout))(gray)
     if mxu_layout:
-        out = ops.resize_bilinear(enhanced, out_hw, antialias=True,
-                                  channel_first=True)
+        out = ops.resize_bilinear(
+            enhanced, out_hw, antialias=True, channel_first=True,
+            precision="default" if fast_resize else "highest")
         return jnp.moveaxis(out, 1, -1)
     return ops.resize_bilinear(enhanced, out_hw, antialias=True)
 
@@ -117,7 +119,7 @@ class TwoStagePipeline:
                  dense_batch_min: int = None, dense_fused_up1: bool = None,
                  dense_up2: str = "dense",
                  mxu_preprocess: bool = None, mxu_roi: bool = None,
-                 s2d_stem: bool = None):
+                 s2d_stem: bool = None, fast_resize: bool = False):
         self.unet = unet
         self.gnet = gnet
         self.unet_vars = unet_vars
@@ -177,6 +179,9 @@ class TwoStagePipeline:
             # tests/test_pipeline.py), better lane use on TPU
             mxu_preprocess = jax.default_backend() not in ("cpu",)
         self.mxu_preprocess = mxu_preprocess
+        # opt-in: bf16-precision antialias resize dots (−1.5 ms at b128,
+        # value delta ~1 uint8 level — NOT reference parity; ops/resize.py)
+        self.fast_resize = fast_resize and mxu_preprocess
         if mxu_roi is None:
             # weight-matrix-form ROI crop (ops.bbox.crop_and_resize_matmul)
             mxu_roi = jax.default_backend() not in ("cpu",)
@@ -240,7 +245,8 @@ class TwoStagePipeline:
 
         def _e2e(unet_vars, gnet_vars, gray):
             imgs = preprocess_gray(gray, out_hw=hw,
-                                   mxu_layout=mxu_preprocess).astype(dtype)
+                                   mxu_layout=mxu_preprocess,
+                                   fast_resize=self.fast_resize).astype(dtype)
             logits, masks = _seg(unet_vars, imgs)
             crops, boxes = extract_roi(imgs, masks, padding=padding, out_hw=hw,
                                        matmul=mxu_roi)
