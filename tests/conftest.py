@@ -84,7 +84,23 @@ QUICK = {
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
 
+    matched = set()
     for item in items:
         rel = item.nodeid.split("/")[-1]
         if rel in QUICK:
             item.add_marker(_pytest.mark.quick)
+            matched.add(rel)
+    # tier-drift guard (ADVICE r4): a renamed/removed test must fail loudly,
+    # not silently shrink the smoke tier. Only enforced on whole-file
+    # collections — explicit `file::test` node-id selection collects a
+    # subset of the file, which is not tier drift.
+    if any("::" in a for a in config.invocation_params.args):
+        return
+    collected_files = {item.nodeid.split("/")[-1].split("::")[0]
+                       for item in items}
+    stale = {q for q in QUICK
+             if q not in matched and q.split("::")[0] in collected_files}
+    if stale:
+        raise _pytest.UsageError(
+            "conftest.QUICK entries matched no collected test (renamed or "
+            "removed?): " + ", ".join(sorted(stale)))

@@ -320,6 +320,12 @@ def test_flag_guards_fail_fast():
     with pytest.raises(SystemExit, match="divisible by the device count"):
         train_seg.main(["--train-dir", "x", "--val-dir", "x",
                         "--data-parallel", "--batch-size", "3"])
+    with pytest.raises(SystemExit, match="remat requires --engine-forward"):
+        # checked before the single-device branch: --data-parallel would
+        # otherwise build its sharded step without remat (ADVICE r4)
+        train_seg.main(["--train-dir", "x", "--val-dir", "x",
+                        "--data-parallel", "--batch-size", "8",
+                        "--remat", "levels"])
     with pytest.raises(SystemExit, match="even --img-size"):
         train_cls.main(["--train-dir", "x", "--val-dir", "x",
                         "--unet-checkpoint", "x",

@@ -135,6 +135,10 @@ def test_http_grade_parity(server, artifact_dir):
 
 def test_http_healthz_and_errors(server):
     srv, port = server
+    # warm the stats surface ourselves: run in isolation, no device call has
+    # happened yet and call_ms_p50 is None (ADVICE r4 — the test previously
+    # leaned on test_http_grade_parity having run first on the shared server)
+    _post_npy(port, RNG.uniform(0, 255, (1, *RAW)).astype(np.float32))
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
                                 timeout=30) as r:
         h = json.loads(r.read())

@@ -110,6 +110,12 @@ def main(argv=None):
         raise SystemExit(
             "--engine-forward is a single-device path; it cannot be combined "
             "with --data-parallel (the sharded step uses the flax forward)")
+    if args.remat and not args.engine_forward:
+        # checked HERE, not only in the single-device branch: --remat
+        # --data-parallel would otherwise build the sharded step without
+        # remat and silently ignore the flag (ADVICE r4; same class as the
+        # --engine-forward guard above)
+        raise SystemExit("--remat requires --engine-forward")
     mesh = None
     if args.data_parallel and len(jax.devices()) > 1:
         mesh = make_mesh()
@@ -165,8 +171,6 @@ def main(argv=None):
     else:
         fwd = "engine-packed" if args.engine_forward else "flax"
         remat = tuple(args.remat.split(",")) if args.remat else ()
-        if remat and not args.engine_forward:
-            raise SystemExit("--remat requires --engine-forward")
         train_step = jax.jit(
             make_seg_train_step(model, tx, forward=fwd, remat=remat),
             donate_argnums=0)
