@@ -87,6 +87,68 @@ def test_batcher_concurrent_threads_one_batch():
         mb.close()
 
 
+@pytest.mark.parametrize("overlap", [True, False])
+def test_batcher_overlap_stream_parity(overlap):
+    """The double-buffered dispatcher (dispatch k+1 before fetching k's
+    grades) routes every grade to its request across a stream of batches —
+    and so does the overlap=False fallback. grade_fn returns a LAZY object
+    (resolved only at np.asarray) to model jax async dispatch."""
+
+    class Lazy:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def __array__(self, dtype=None, copy=None):
+            time.sleep(0.01)     # "device executing" until the fetch
+            return self._arr
+
+    calls = []
+
+    def grade_fn(batch):
+        calls.append(batch.shape[0])
+        return Lazy(batch[:, 0, 0].astype(np.int64))
+
+    mb = MicroBatcher(grade_fn, max_batch=4, max_wait_ms=20.0,
+                      overlap=overlap)
+    try:
+        # several sequential waves so the in-flight buffer carries across
+        for wave in range(3):
+            imgs = [np.full((2, 2), 10 * wave + i, np.float32)
+                    for i in range(6)]
+            assert mb.grade_many(imgs) == [10 * wave + i for i in range(6)]
+        assert mb.images_total == 18
+        assert all(c in (1, 2, 4) for c in calls)
+    finally:
+        mb.close()
+
+
+def test_batcher_overlap_close_flushes_inflight():
+    """close() must deliver a batch whose fetch is still pending."""
+    done = threading.Event()
+
+    class Lazy:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def __array__(self, dtype=None, copy=None):
+            done.wait(5.0)
+            return self._arr
+
+    def grade_fn(batch):
+        return Lazy(np.zeros(batch.shape[0], np.int64))
+
+    mb = MicroBatcher(grade_fn, max_batch=4, max_wait_ms=5.0, overlap=True)
+    got = []
+    t = threading.Thread(target=lambda: got.append(
+        mb.grade(np.zeros((2, 2), np.float32))))
+    t.start()
+    time.sleep(0.2)        # let the dispatcher issue the dispatch
+    done.set()
+    t.join(timeout=10)
+    mb.close()
+    assert got == [0]
+
+
 # ------------------------------------------------------------------- http --
 
 @pytest.fixture(scope="module")

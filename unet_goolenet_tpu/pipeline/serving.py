@@ -77,7 +77,8 @@ class MicroBatcher:
 
     def __init__(self, grade_fn: Callable[[np.ndarray], Sequence[int]], *,
                  max_batch: int = 64, max_wait_ms: float = 5.0,
-                 pad_multiple: int = 1, grade_timeout_s: float = 600.0):
+                 pad_multiple: int = 1, grade_timeout_s: float = 600.0,
+                 overlap: bool = True):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         if max_batch % pad_multiple:
@@ -87,6 +88,12 @@ class MicroBatcher:
         self.max_batch = max_batch
         self.pad_multiple = pad_multiple
         self.max_wait_s = max_wait_ms / 1e3
+        # double-buffered dispatch: jax dispatch is async, so the fetch of
+        # batch k's grades (np.asarray = device execute + host transfer) can
+        # ride under batch k+1's drain+dispatch — without it the chip idles
+        # for the fetch RTT + host glue between every pair of batches
+        # (~22% of per-dispatch serving capacity at b128, RESULTS.md q13/q19)
+        self.overlap = overlap
         # default wait for a grade; generous because the FIRST call per pow2
         # bucket pays an XLA compile (minutes on the dev tunnel)
         self.grade_timeout_s = grade_timeout_s
@@ -211,35 +218,81 @@ class MicroBatcher:
             batch.append(item)
         return batch, False
 
+    def _dispatch(self, items: list) -> tuple | None:
+        """Stack+pad `items` and issue the device call WITHOUT fetching.
+        Returns an in-flight record for _finish, or None if the dispatch
+        itself failed (items already failed). jax dispatch is async: the
+        returned value is a future-like device array whose np.asarray blocks
+        until execution + transfer complete."""
+        try:
+            real = np.stack([p.image for p in items])
+            n = real.shape[0]
+            padded_n = _pow2_bucket(n, self.max_batch, self.pad_multiple)
+            if padded_n > n:   # replicate a real image; grades dropped
+                pad = np.broadcast_to(real[:1],
+                                      (padded_n - n, *real.shape[1:]))
+                real = np.concatenate([real, pad])
+            t0 = time.monotonic()
+            return items, n, padded_n, self._grade_fn(real), t0
+        except Exception as e:                        # pragma: no cover - rare
+            for p in items:
+                p.error = e
+                p.event.set()
+            return None
+
+    def _finish(self, inflight: tuple) -> None:
+        """Fetch an in-flight batch's grades and release its waiters."""
+        items, n, padded_n, result, t0 = inflight
+        try:
+            grades = np.asarray(result)
+            with self._stats_lock:
+                # dispatch -> grades-on-host; under overlap this includes
+                # the next batch's drain riding on top of the device time
+                self.call_ms.append((time.monotonic() - t0) * 1e3)
+                self.device_calls += 1
+                self.images_total += n
+                self.batch_hist[padded_n] += 1
+            for p, g in zip(items, grades[:n]):
+                p.grade = int(g)
+                p.event.set()
+        except Exception as e:                        # pragma: no cover - rare
+            for p in items:
+                p.error = e
+                p.event.set()
+
     def _loop(self) -> None:
+        # Double-buffered: at most ONE batch in flight while the next batch
+        # drains + dispatches; the fetch happens after the next dispatch is
+        # issued, so device execution and host glue overlap. When the queue
+        # is idle the in-flight batch is fetched immediately — a lone batch
+        # never waits on future traffic. Latency cost per batch: at most the
+        # next batch's drain window (<= max_wait_ms) + its dispatch glue.
+        inflight = None
         while True:
-            first = self._queue.get()
+            if inflight is None:
+                first = self._queue.get()
+            else:
+                try:
+                    first = self._queue.get_nowait()
+                except queue.Empty:
+                    self._finish(inflight)
+                    inflight = None
+                    continue
             if first is None:
+                if inflight is not None:
+                    self._finish(inflight)
                 return
             items, closing = self._drain(first)
-            try:
-                real = np.stack([p.image for p in items])
-                n = real.shape[0]
-                padded_n = _pow2_bucket(n, self.max_batch, self.pad_multiple)
-                if padded_n > n:   # replicate a real image; grades dropped
-                    pad = np.broadcast_to(real[:1],
-                                          (padded_n - n, *real.shape[1:]))
-                    real = np.concatenate([real, pad])
-                t0 = time.monotonic()
-                grades = np.asarray(self._grade_fn(real))
-                with self._stats_lock:
-                    self.call_ms.append((time.monotonic() - t0) * 1e3)
-                    self.device_calls += 1
-                    self.images_total += n
-                    self.batch_hist[padded_n] += 1
-                for p, g in zip(items, grades[:n]):
-                    p.grade = int(g)
-                    p.event.set()
-            except Exception as e:                    # pragma: no cover - rare
-                for p in items:
-                    p.error = e
-                    p.event.set()
+            nxt = self._dispatch(items)
+            if inflight is not None:
+                self._finish(inflight)
+            inflight = nxt
+            if not self.overlap and inflight is not None:
+                self._finish(inflight)
+                inflight = None
             if closing:
+                if inflight is not None:
+                    self._finish(inflight)
                 return
 
 
@@ -259,7 +312,8 @@ class GradingServer:
 
     def __init__(self, artifact, *, max_batch: int = 64,
                  max_wait_ms: float = 5.0, pad_multiple: int = 1,
-                 grade_timeout_s: float = 600.0, meta: dict | None = None):
+                 grade_timeout_s: float = 600.0, meta: dict | None = None,
+                 overlap: bool = True):
         self.meta = dict(meta if meta is not None
                          else getattr(artifact, "meta", {}))
         raw_hw = self.meta.get("raw_hw")
@@ -272,7 +326,8 @@ class GradingServer:
         self.batcher = MicroBatcher(artifact, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms,
                                     pad_multiple=pad_multiple,
-                                    grade_timeout_s=grade_timeout_s)
+                                    grade_timeout_s=grade_timeout_s,
+                                    overlap=overlap)
         self._httpd: ThreadingHTTPServer | None = None
 
     # -- request handling ---------------------------------------------------
