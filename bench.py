@@ -73,7 +73,7 @@ def measure_ours() -> float:
     # the up2 level (engine.unet_forward up2 kwarg; only affects the dense
     # branch when the fused up1 tail is on)
     up2_env = os.environ.get("BENCH_UP2")
-    if up2_env in ("packed", "fused"):
+    if up2_env in ("packed", "fused", "fused_dense"):
         fused_kw["dense_up2"] = up2_env
     # BENCH_GLUE=0 turns OFF the MXU-form serving glue (NCHW-layout preprocess
     # resize, weight-matrix ROI crop, space-to-depth GoogLeNet stem) that is

@@ -60,6 +60,25 @@ def scan_time(fn, operands, k, iters=3):
     return best / k * 1000.0
 
 
+# forward logical GFLOP/img per level (benchmarks/profile_unet_levels.py map;
+# matmul-only, the MXU roofline accounting used by attr_b128). The backward's
+# MXU ideal is 2x the forward's (dgrad + wgrad are each ~one conv of the same
+# logical FLOPs; bias/BN reductions are bandwidth noise at these sizes).
+FWD_GFLOP_IMG = {
+    "inc": 0.17, "pool+down1": 5.55, "pool+down2": 5.55, "pool+down3": 5.55,
+    "pool+down4": 1.85, "transformer": 7.41, "up4": 12.85, "up3": 12.85,
+    "up2": 12.85, "up1 p": 19.32, "outc": 0.013,
+}
+MXU_TFLOPS = 205.0  # measured chained-matmul peak on this v5e (RESULTS.md r1)
+
+
+def _ideal_ms(name: str, batch: int) -> float | None:
+    for k, g in FWD_GFLOP_IMG.items():
+        if name.startswith(k):
+            return g * batch / MXU_TFLOPS
+    return None
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
@@ -68,6 +87,10 @@ def main(argv=None):
                     help="profile in f32 (default bf16, the production mode)")
     ap.add_argument("--only", default=None,
                     help="substring filter on level names (smoke / retries)")
+    ap.add_argument("--split-dw-dx", action="store_true",
+                    help="additionally time grad w.r.t. inputs only (dgrad) "
+                         "and w.r.t. params only (wgrad) per level — locates "
+                         "which half of a slow backward is the problem")
     args = ap.parse_args(argv)
 
     b = args.batch
@@ -179,8 +202,11 @@ def main(argv=None):
 
     print(f"\n## packed train fwd vs fwd+bwd per level "
           f"@ batch {b}, {'f32' if args.f32 else 'bf16'}, scan {K}\n")
-    print("| level | fwd ms | fwd+bwd ms | bwd ms | bwd/fwd |")
-    print("|---|---|---|---|---|")
+    hdr = "| level | fwd ms | fwd+bwd ms | bwd ms | bwd/fwd | 2xfwd ideal | bwd % ideal |"
+    if args.split_dw_dx:
+        hdr += " dx ms | dw ms |"
+    print(hdr)
+    print("|---|" + "---|" * (hdr.count("|") - 2))
     rows = {}
     tot_f = tot_fb = 0.0
     if args.only:
@@ -202,12 +228,42 @@ def main(argv=None):
         t_f = scan_time(fwd_scalar, operands, K)
         t_fb = scan_time(fb_scalar, operands, K)
         t_b = t_fb - t_f
+        ideal2 = _ideal_ms(name, b)
         rows[name] = {"fwd_ms": round(t_f, 2), "fwd_bwd_ms": round(t_fb, 2),
                       "bwd_ms": round(t_b, 2)}
         tot_f += t_f
         tot_fb += t_fb
-        print(f"| {name} | {t_f:.2f} | {t_fb:.2f} | {t_b:.2f} "
-              f"| {t_fb / t_f - 1:.1f}x |")
+        line = (f"| {name} | {t_f:.2f} | {t_fb:.2f} | {t_b:.2f} "
+                f"| {t_fb / t_f - 1:.1f}x |")
+        if ideal2 is not None:
+            bi = 2 * ideal2
+            rows[name]["bwd_ideal_ms"] = round(bi, 2)
+            rows[name]["bwd_pct_ideal"] = round(100 * bi / t_b) if t_b > 0 else None
+            line += f" {bi:.2f} | {100 * bi / max(t_b, 1e-9):.0f}% |"
+        else:
+            line += " — | — |"
+        if args.split_dw_dx:
+            # dx: grads w.r.t. the level INPUTS only (params closed over) —
+            # the dgrad convs; dw: w.r.t. params only — the wgrad convs. Each
+            # includes the forward (jax.grad recomputes it), so dx/dw columns
+            # are fwd+that-half; their overlap-free sum exceeds fwd+bwd by
+            # one extra forward.
+            def dx_scalar(xs_):
+                g = jax.grad(lambda xs2: fwd_scalar((p_sub, xs2)))(xs_)
+                return jax.tree_util.tree_reduce(
+                    lambda a, v: a + jnp.sum(v.astype(jnp.float32) ** 2), g, 0.0)
+
+            def dw_scalar(p_):
+                g = jax.grad(lambda p2: fwd_scalar((p2, xs)))(p_)
+                return jax.tree_util.tree_reduce(
+                    lambda a, v: a + jnp.sum(v.astype(jnp.float32) ** 2), g, 0.0)
+
+            t_dx = scan_time(dx_scalar, xs, K) - t_f
+            t_dw = scan_time(dw_scalar, p_sub, K) - t_f
+            rows[name]["dx_ms"] = round(t_dx, 2)
+            rows[name]["dw_ms"] = round(t_dw, 2)
+            line += f" {t_dx:.2f} | {t_dw:.2f} |"
+        print(line, flush=True)
     print(f"| **sum** | {tot_f:.2f} | {tot_fb:.2f} | {tot_fb - tot_f:.2f} | |")
     print()
     print(json.dumps({"batch": b, "bf16": not args.f32, "levels": rows}))

@@ -92,6 +92,60 @@ def main() -> None:
         return jax.vmap(partial(ops.resize_bilinear, out_hw=(SIZE, SIZE),
                                 antialias=True))(st)
 
+    # ---- uint8-intermediate variant (VERDICT r4 ask #7) -------------------
+    # The quantized wavelet output IS k/255 for integer k: store k as uint8
+    # (4x less HBM for the wavelet->resize boundary) and dequantize with the
+    # SAME `/ 255.0` f32 division inside the resize fusion — bit-exact values.
+    from unet_goolenet_tpu.ops.resize import _weight_mat
+
+    a_h = _weight_mat(h, SIZE, antialias=True)         # (SIZE, h) f32
+    a_w = _weight_mat(w, SIZE, antialias=True)         # (SIZE, w) f32
+
+    def _minmax_u8_int(x):
+        lo = jnp.min(x)
+        rng = jnp.max(x) - lo
+        y = jnp.where(rng > 0, (x - lo) / jnp.maximum(rng, 1e-30),
+                      jnp.zeros_like(x))
+        return jnp.floor(y * 255.0).astype(jnp.uint8)
+
+    def wavelet_u8_nchw(g):
+        def one(x):
+            cA, (cH, cV, cD) = haar_dwt2(x)
+            hi = jnp.sqrt(cH * cH + cV * cV + cD * cD)
+            lo_up = ops.resize_bilinear(cA, (h, w), antialias=False)
+            hi_up = ops.resize_bilinear(hi, (h, w), antialias=False)
+            return jnp.stack([_minmax_u8_int(x), _minmax_u8_int(lo_up),
+                              _minmax_u8_int(hi_up)], axis=0)
+        return jax.vmap(one)(g)
+
+    def full_u8(g):
+        u8 = wavelet_u8_nchw(g)                        # (b, 3, h, w) uint8
+        xf = u8.astype(jnp.float32) / 255.0            # exact k/255 dequant
+        xh = jnp.einsum("oh,nchw->ncow", a_h, xf, precision="highest")
+        out = jnp.einsum("pw,ncow->ncop", a_w, xh, precision="highest")
+        return jnp.moveaxis(out, 1, -1)
+
+    # ---- fold-minmax variant (parity-breaking bound probe) ----------------
+    # min-max normalise AFTER the antialias resize (resize is linear and its
+    # rows sum to 1, so (x-lo)/rng commutes) — skips the full-res normalise
+    # pass AND the uint8 quantization (NOT reference parity: the reference
+    # quantizes before PIL; fast_resize class).
+    def full_fold(g):
+        def one(x):
+            cA, (cH, cV, cD) = haar_dwt2(x)
+            hi = jnp.sqrt(cH * cH + cV * cV + cD * cD)
+            lo_up = ops.resize_bilinear(cA, (h, w), antialias=False)
+            hi_up = ops.resize_bilinear(hi, (h, w), antialias=False)
+            st = jnp.stack([x, lo_up, hi_up], axis=0)   # (3, h, w)
+            lo = jnp.min(st, axis=(1, 2))
+            rng = jnp.maximum(jnp.max(st, axis=(1, 2)) - lo, 1e-30)
+            return st, lo, rng
+        st, lo, rng = jax.vmap(one)(g)                  # (b,3,h,w)
+        xh = jnp.einsum("oh,nchw->ncow", a_h, st, precision="highest")
+        out = jnp.einsum("pw,ncow->ncop", a_w, xh, precision="highest")
+        out = (out - lo[:, :, None, None]) / rng[:, :, None, None]
+        return jnp.moveaxis(out, 1, -1)
+
     rows = [
         ("full preprocess_gray", lambda g: preprocess_gray(
             g, out_hw=(SIZE, SIZE)), gray),
@@ -101,6 +155,8 @@ def main() -> None:
         ("coeff upsamples (2x)", upsamples, (cA, high)),
         ("minmax+quantize+stack (3ch)", minmax3, (gray, low_up, high_up)),
         ("final antialias resize", final_resize, stacked),
+        ("FULL u8-intermediate (exact)", full_u8, gray),
+        ("FULL fold-minmax (no-parity)", full_fold, gray),
     ]
     print(f"\n## preprocess decomposition @ b{b} (ms/batch)\n")
     print("| pass | ms |")
@@ -108,6 +164,14 @@ def main() -> None:
     for name, fn, base in rows:
         t = scan_time(fn, base, K, args.iters)
         print(f"| {name} | {t*1e3:.2f} |", flush=True)
+
+    # parity: u8-intermediate must be BIT-exact vs the shipped mxu path
+    ref = jax.jit(lambda g: preprocess_gray(g, out_hw=(SIZE, SIZE),
+                                            mxu_layout=True))(gray[:8])
+    got = jax.jit(full_u8)(gray[:8])
+    derr = float(jnp.max(jnp.abs(ref - got)))
+    print(f"\nu8-intermediate max |delta| vs shipped mxu path: {derr:.2e} "
+          f"(must be 0.0 for exact parity)", flush=True)
 
 
 if __name__ == "__main__":

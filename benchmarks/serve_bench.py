@@ -85,8 +85,12 @@ def timeit(fn) -> float:
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=["live", "artifact", "batcher"],
+    p.add_argument("--mode", choices=["live", "artifact", "batcher",
+                                      "overlap", "overlap-artifact"],
                    required=True)
+    p.add_argument("--stream-len", type=int, default=8,
+                   help="overlap modes: distinct device-resident batches "
+                        "per timed stream pass")
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--config", choices=["pure", "default"], default="pure")
     p.add_argument("--static-batch", type=int, default=0,
@@ -96,6 +100,69 @@ def main() -> None:
     args = p.parse_args()
 
     pipe, gray = build(args.dtype, args.config)
+
+    if args.mode in ("overlap", "overlap-artifact"):
+        # Per-dispatch serving with the double-buffered dispatcher pattern
+        # (pipeline/serving.MicroBatcher overlap=True, VERDICT r4 ask #4):
+        # dispatch batch k+1 BEFORE fetching batch k's grades, so the chip
+        # never idles for the fetch RTT + host glue between batches. Streams
+        # of distinct device-resident batches (the dev tunnel's ~1 MB/s
+        # uplink would otherwise dominate; a real server's images arrive on
+        # a fast NIC), grades fetched per batch like a server does.
+        import jax
+        import jax.numpy as jnp
+
+        if args.mode == "overlap-artifact":
+            from unet_goolenet_tpu.pipeline.export import (export_serving,
+                                                           load_serving)
+            d = tempfile.mkdtemp()
+            export_serving(pipe, d, raw_hw=IMG_HW,
+                           static_batch=args.static_batch or None,
+                           keep_fused=args.config == "default")
+            runner = load_serving(d)
+            fn = runner
+        else:
+            fn = lambda g: pipe.infer_grades(g)  # noqa: E731
+
+        key = jax.random.PRNGKey(1)
+        batches = [jax.device_put(jax.random.uniform(
+            jax.random.fold_in(key, i), (BATCH, *IMG_HW), jnp.float32,
+            0.0, 255.0)) for i in range(args.stream_len)]
+
+        def run_sync():
+            outs = []
+            for g in batches:
+                outs.append(np.asarray(fn(g)))       # fetch before next dispatch
+            return outs
+
+        def run_overlap():
+            outs, prev = [], None
+            for g in batches:
+                cur = fn(g)                          # async dispatch
+                if prev is not None:
+                    outs.append(np.asarray(prev))    # fetch k while k+1 runs
+                prev = cur
+            outs.append(np.asarray(prev))
+            return outs
+
+        for name, run in (("sync", run_sync), ("overlap", run_overlap)):
+            outs = run()                             # compile + warm
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                outs = run()
+                best = min(best, time.perf_counter() - t0)
+            per = best / len(batches)
+            assert all(o.shape[0] == BATCH for o in outs)
+            print(f"serve_bench mode={args.mode}/{name} config={args.config} "
+                  f"batch={BATCH} stream={len(batches)}: {per * 1e3:.2f} "
+                  f"ms/batch = {BATCH / per:.1f} img/s", flush=True)
+        # parity: overlapped grades == sync grades on the same batches
+        s, o = run_sync(), run_overlap()
+        mism = sum(int((a != b).sum()) for a, b in zip(s, o))
+        print(f"grade parity sync vs overlap: {mism} mismatches "
+              f"/ {len(batches) * BATCH}", flush=True)
+        return
 
     if args.mode == "live":
         fn = lambda: pipe.infer_grades(gray)  # noqa: E731

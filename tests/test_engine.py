@@ -49,6 +49,17 @@ class TestEngine:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-3, atol=2e-4)
 
+    def test_gnet_merge_1x1_matches_plain(self):
+        """merge_1x1 (one conv with concatenated output channels for the
+        three same-input inception 1x1s) is exact math — logits identical."""
+        gnet = GoogLeNetClassifier(num_classes=6)
+        x = jax.random.uniform(KEY, (2, 96, 96, 3))
+        variables = gnet.init({"params": KEY, "dropout": KEY}, x, train=False)
+        ref = engine.gnet_forward(variables, x)
+        got = engine.gnet_forward(variables, x, merge_1x1=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_pipeline_engine_grade_parity(self):
         # the serving pipeline defaults to the folded engine; grades must match
         # the flax-apply pipeline on the same inputs
@@ -144,7 +155,8 @@ class TestFusedUp1Tail:
         ref = engine.unet_forward(variables, x)
         for kw in (dict(fused_up1=True),
                    dict(fused_up1=True, up2="packed"),
-                   dict(fused_up1=True, up2="fused")):
+                   dict(fused_up1=True, up2="fused"),
+                   dict(fused_up1=True, up2="fused_dense")):
             got = engine.unet_forward(variables, x, **kw)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=1e-4, atol=1e-5, err_msg=str(kw))

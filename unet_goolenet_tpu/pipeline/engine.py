@@ -191,11 +191,28 @@ def _stem_conv_s2d(x, p, s):
     return jax.nn.relu(y).astype(x.dtype)
 
 
-def _inception(x, p, s):
-    b1 = _basic_conv(x, p["branch1"], s["branch1"])
-    b2 = _basic_conv(x, p["branch2_0"], s["branch2_0"])
+def _inception(x, p, s, *, merge_1x1: bool = False):
+    if merge_1x1:
+        # the three 1x1 convs reading the SAME input (branch1, branch2_0,
+        # branch3_0) as ONE conv with concatenated output channels — exactly
+        # equal math (conv is linear in cout; relu is elementwise), one MXU
+        # dot instead of three narrow ones (A/B knob, benchmarks/gnet_attr)
+        ws, bs = zip(*(ops.fold_batchnorm(
+            p[k]["conv"]["conv"]["kernel"], None, p[k]["bn"]["scale"],
+            p[k]["bn"]["bias"], s[k]["bn"]["mean"], s[k]["bn"]["var"], 1e-3)
+            for k in ("branch1", "branch2_0", "branch3_0")))
+        wcat = jnp.concatenate(ws, axis=-1).astype(x.dtype)
+        bcat = jnp.concatenate(bs).astype(x.dtype)
+        y = jax.nn.relu(ops.conv2d(x, wcat, bcat))
+        c1, c2 = ws[0].shape[-1], ws[1].shape[-1]
+        b1 = y[..., :c1]
+        b2 = y[..., c1:c1 + c2]
+        b3 = y[..., c1 + c2:]
+    else:
+        b1 = _basic_conv(x, p["branch1"], s["branch1"])
+        b2 = _basic_conv(x, p["branch2_0"], s["branch2_0"])
+        b3 = _basic_conv(x, p["branch3_0"], s["branch3_0"])
     b2 = _basic_conv(b2, p["branch2_1"], s["branch2_1"], padding=1)
-    b3 = _basic_conv(x, p["branch3_0"], s["branch3_0"])
     # torchvision's 3x3-in-the-5x5-branch quirk: kernel shape carries the truth
     k3 = p["branch3_1"]["conv"]["conv"]["kernel"].shape[0]
     b3 = _basic_conv(b3, p["branch3_1"], s["branch3_1"], padding=k3 // 2)
@@ -213,12 +230,15 @@ def _transform_input(x):
 
 
 def gnet_forward(variables: Dict[str, Any], x: jax.Array,
-                 *, s2d_stem: bool = False) -> jax.Array:
+                 *, s2d_stem: bool = False,
+                 merge_1x1: bool = False) -> jax.Array:
     """Engine forward of GoogLeNetClassifier (inference: aux heads off, dropout
     identity, transform_input on): every BasicConv2d's BatchNorm folded into its
     conv. Numerics match GoogLeNetClassifier.apply(train=False) to float
     tolerance (tests/test_engine.py). s2d_stem runs the 7x7/2 stem conv in the
-    space-to-depth matmul form (_stem_conv_s2d; TPU serving default)."""
+    space-to-depth matmul form (_stem_conv_s2d; TPU serving default).
+    merge_1x1 fuses each inception module's three same-input 1x1 convs into
+    one (exact math; A/B knob, benchmarks/gnet_attr.py)."""
     p = variables["params"]["googlenet"]
     s = variables["batch_stats"]["googlenet"]
     x = _transform_input(x)
@@ -230,15 +250,15 @@ def gnet_forward(variables: Dict[str, Any], x: jax.Array,
     x = _basic_conv(x, p["conv2"], s["conv2"])
     x = _basic_conv(x, p["conv3"], s["conv3"], padding=1)
     x = ops.max_pool2d(x, 3, 2, ceil_mode=True)
-    x = _inception(x, p["inception3a"], s["inception3a"])
-    x = _inception(x, p["inception3b"], s["inception3b"])
+    x = _inception(x, p["inception3a"], s["inception3a"], merge_1x1=merge_1x1)
+    x = _inception(x, p["inception3b"], s["inception3b"], merge_1x1=merge_1x1)
     x = ops.max_pool2d(x, 3, 2, ceil_mode=True)
     for mod in ("inception4a", "inception4b", "inception4c", "inception4d",
                 "inception4e"):
-        x = _inception(x, p[mod], s[mod])
+        x = _inception(x, p[mod], s[mod], merge_1x1=merge_1x1)
     x = ops.max_pool2d(x, 2, 2, ceil_mode=True)
-    x = _inception(x, p["inception5a"], s["inception5a"])
-    x = _inception(x, p["inception5b"], s["inception5b"])
+    x = _inception(x, p["inception5a"], s["inception5a"], merge_1x1=merge_1x1)
+    x = _inception(x, p["inception5b"], s["inception5b"], merge_1x1=merge_1x1)
     x = jnp.mean(x, axis=(1, 2))
     return jnp.dot(x, p["fc"]["kernel"].astype(x.dtype)) + \
         p["fc"]["bias"].astype(x.dtype)
@@ -497,6 +517,15 @@ def unet_forward(variables: Dict[str, Any], x: jax.Array,
         from unet_goolenet_tpu.ops.pallas.up2 import up_level_supported
         if up2 == "fused" and up_level_supported(2 * y.shape[1]):
             y_p = _up2_fused(y, feats[1], p["up2"], s["up2"], x.dtype)
+        elif up2 == "fused_dense" and up_level_supported(2 * y.shape[1]):
+            # the VERDICT-r4 'fourth configuration': the up2 level as the
+            # dense-OUT Pallas kernel (fused_up_dense, cq=64), pack at the
+            # up1 boundary exactly where the winning hybrid packs — vs
+            # 'fused' this moves the pack OUTSIDE the kernel wrapper (same
+            # ops; lets XLA schedule the pack against the tail's consumers)
+            y_d = _up_fused(y, feats[1], p["up2"], s["up2"], x.dtype,
+                            packed_out=False)
+            y_p = P.pack(y_d)
         else:
             y_p = _up2_packed_xla(y, feats[1], p["up2"], s["up2"], x.dtype)
         return P.unpack(unet_forward_packed_tail_fused(
