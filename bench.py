@@ -82,6 +82,10 @@ def measure_ours() -> float:
     # (~1 uint8-level value delta — NOT the parity default; A/B knob only)
     if os.environ.get("BENCH_FAST_RESIZE") == "1":
         fused_kw["fast_resize"] = True
+    # BENCH_GNET_MERGE=1 fuses each inception module's three same-input 1x1
+    # convs into one (exact math; A/B knob, benchmarks/gnet_attr.py)
+    if os.environ.get("BENCH_GNET_MERGE") == "1":
+        fused_kw["gnet_merge_1x1"] = True
     glue_env = os.environ.get("BENCH_GLUE")
     if glue_env is not None:
         v = glue_env != "0"

@@ -119,7 +119,8 @@ class TwoStagePipeline:
                  dense_batch_min: int = None, dense_fused_up1: bool = None,
                  dense_up2: str = "dense",
                  mxu_preprocess: bool = None, mxu_roi: bool = None,
-                 s2d_stem: bool = None, fast_resize: bool = False):
+                 s2d_stem: bool = None, fast_resize: bool = False,
+                 gnet_merge_1x1: bool = False):
         self.unet = unet
         self.gnet = gnet
         self.unet_vars = unet_vars
@@ -190,6 +191,9 @@ class TwoStagePipeline:
             # GoogLeNet 7x7/2 stem in space-to-depth matmul form
             s2d_stem = jax.default_backend() not in ("cpu",)
         self.s2d_stem = s2d_stem
+        # each inception module's three same-input 1x1 convs as ONE conv
+        # (exact math, tests/test_engine.py) — A/B knob, benchmarks/gnet_attr
+        self.gnet_merge_1x1 = gnet_merge_1x1
 
         hw = (img_size, img_size)
 
@@ -240,7 +244,8 @@ class TwoStagePipeline:
         def _cls(gnet_vars, crops):
             if use_engine:
                 return _engine.gnet_forward(gnet_vars, crops,
-                                            s2d_stem=s2d_stem)
+                                            s2d_stem=s2d_stem,
+                                            merge_1x1=gnet_merge_1x1)
             return self.gnet.apply(gnet_vars, crops, train=False)
 
         def _e2e(unet_vars, gnet_vars, gray):
