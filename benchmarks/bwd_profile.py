@@ -67,7 +67,7 @@ def scan_time(fn, operands, k, iters=3):
 FWD_GFLOP_IMG = {
     "inc": 0.17, "pool+down1": 5.55, "pool+down2": 5.55, "pool+down3": 5.55,
     "pool+down4": 1.85, "transformer": 7.41, "up4": 12.85, "up3": 12.85,
-    "up2": 12.85, "up1 p": 19.32, "outc": 0.013,
+    "up2": 12.85, "up1 p": 19.32, "up1 DENSE": 19.32, "outc": 0.013,
 }
 MXU_TFLOPS = 205.0  # measured chained-matmul peak on this v5e (RESULTS.md r1)
 
@@ -199,6 +199,26 @@ def main(argv=None):
         "up1.block1 p @224", p["up1"]["nConvs"]["block1"],
         s["up1"]["nConvs"]["block1"], (rnd(b, 224, 112, 128),),
         lambda p_, s_, x: ET._cbn_t(x, p_, s_, packed=True)[0]))
+
+    # --- down1 dx diagnosis (queue-19: dx 2.68 of 3.24 bwd at 27% ideal):
+    # is the slow half the pool backward (custom elementwise VJP over the
+    # 224^2 packed tensor) or the 112^2 conv dgrads?
+    levels.append((
+        "down1.pool-only @224", {"_": jnp.zeros(())}, None,
+        (rnd(b, 224, 112, 128),),
+        lambda p_, s_, x: P.max_pool2x2_p_to_dense(x)))
+
+    levels.append((
+        "down1.convs-only @112", t["down1"]["nConvs"], ts["down1"]["nConvs"],
+        (rnd(b, 112, 112, 64),),
+        lambda p_, s_, x: ET._stack_t(x, p_, s_, packed=False)))
+
+    # dense-up1 tail A/B support (engine_train dense_up1): the same level
+    # as 'up1 p @224' but dense 64-channel — logical FLOPs, XLA dense bwd
+    levels.append((
+        "up1 DENSE @224", p["up1"], s["up1"],
+        (rnd(b, 112, 112, 64), rnd(b, 224, 224, 64)),
+        lambda p_, s_, x, sk: ET._up_alig_t(x, sk, p_, s_)))
 
     print(f"\n## packed train fwd vs fwd+bwd per level "
           f"@ batch {b}, {'f32' if args.f32 else 'bf16'}, scan {K}\n")

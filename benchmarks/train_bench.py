@@ -44,6 +44,11 @@ def main(argv=None) -> None:
     ap.add_argument("--packed", action="store_true",
                     help="use the pixel-packed engine train forward "
                          "(pipeline/engine_train.py)")
+    ap.add_argument("--dense-up1", action="store_true",
+                    help="packed forward with a DENSE up1+outc tail "
+                         "(engine_train dense_up1 — the queue-19 backward "
+                         "attribution's lever on the packed up1's 2x-FLOP "
+                         "backward); implies --packed")
     ap.add_argument("--remat", default="",
                     help="comma list of engine levels to jax.checkpoint "
                          "(up1,up2,inc) or 'all' (packed forward only)")
@@ -80,8 +85,10 @@ def main(argv=None) -> None:
     unravel = None
     if args.flat_state:
         state, unravel = flatten_seg_state(state, tx)
+    fwd = ("engine-packed-dense-up1" if args.dense_up1
+           else "engine-packed" if args.packed else "flax")
     step = make_seg_train_step(
-        model, tx, forward="engine-packed" if args.packed else "flax",
+        model, tx, forward=fwd,
         remat=tuple(args.remat.split(",")) if args.remat else (),
         unravel=unravel)
 
@@ -116,6 +123,7 @@ def main(argv=None) -> None:
         "batch": args.batch,
         "bf16": bool(args.bf16),
         "packed": bool(args.packed),
+        "dense_up1": bool(args.dense_up1),
         "flat_opt": bool(args.flat_opt),
         "flat_state": bool(args.flat_state),
     }))

@@ -45,6 +45,23 @@ class TestTrainForwardParity:
                 np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-5,
                 err_msg=jax.tree_util.keystr(path))
 
+    def test_dense_up1_tail_matches_flax(self):
+        """dense_up1=True (dense 64-channel up1+outc tail — the queue-19
+        backward-attribution lever) keeps logits and batch-stats parity."""
+        model, params, stats, x = setup()
+        ref_out, ref_stats = flax_fwd(model, params, stats, x)
+        got_out, got_stats = unet_forward_packed_train(params, stats, x,
+                                                      dense_up1=True)
+        np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                                   rtol=2e-3, atol=2e-4)
+        flat_ref = jax.tree_util.tree_flatten_with_path(ref_stats)[0]
+        flat_got = jax.tree_util.tree_flatten_with_path(got_stats)[0]
+        assert [p for p, _ in flat_ref] == [p for p, _ in flat_got]
+        for (path, r), (_, g) in zip(flat_ref, flat_got):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-5,
+                err_msg=jax.tree_util.keystr(path))
+
     def test_gradients_match_flax(self):
         model, params, stats, x = setup(size=32)
         labels = (jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 1))

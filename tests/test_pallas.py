@@ -367,6 +367,29 @@ class TestCbnStatsDense:
                                                keepdims=True)),
             rtol=1e-4, atol=1e-4)
 
+    def test_unaligned_width_padding(self):
+        """Widths that are not sublane multiples (up4's 28-wide skip) go
+        through the zero-pad + post-mask path; conv AND the global stats
+        must still be exact (pad columns re-zeroed before the sum/max)."""
+        from unet_goolenet_tpu.ops.pallas.up2 import fused_cbn_stats_dense
+        n, h, w, c = 2, 24, 12, 8
+        x = rand(n, h, w, c)
+        wk = rand(3, 3, c, c) * 0.3
+        b = rand(c) + 1.0          # positive bias: relu(bias) would leak
+        e1, mean, mx = fused_cbn_stats_dense(x, wk, b, tile_rows=8)
+        assert e1.shape == x.shape
+        ref = jax.nn.relu(ops.conv2d(x, wk, b, padding=1))
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(mean), np.asarray(jnp.mean(ref, axis=(1, 2),
+                                                  keepdims=True)),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(mx), np.asarray(jnp.max(ref, axis=(1, 2),
+                                               keepdims=True)),
+            rtol=1e-4, atol=1e-4)
+
 
 class TestFusedUp2Integration:
     def test_engine_forward_matches_unfused(self):
@@ -423,6 +446,32 @@ class TestFusedUpDense:
                              ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"],
                              ws["w_pair"], ws["b_pair"], ws["w_blk1"],
                              ws["b_blk1"], tile_rows=tile_rows)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("w", [12, 28])
+    def test_unaligned_width_padding(self, w):
+        """Sublane-unaligned widths (the real up3/up4 geometries: 28, 14) go
+        through the wrapper's zero-pad + the kernel's row-and-column mask;
+        output must equal the XLA chain exactly as if never padded."""
+        from unet_goolenet_tpu.ops.pallas.up2 import fused_up_dense
+        n, h, c = 2, 16, 16
+        cq = c // 2
+        x = rand(n, h // 2, w // 2, c)
+        e1 = rand(n, h, w, c)
+        gate = jnp.abs(rand(n, 1, 1, c)) * 0.5
+        ws = {
+            "w_up": rand(2, 2, c, c) * 0.3, "b_up": rand(c) + 0.5,
+            "w_d2": rand(3, 3, c, c) * 0.3, "b_d2": rand(c) + 0.5,
+            "w_pair": rand(3, 3, 2 * c, cq) * 0.3, "b_pair": rand(cq) + 0.5,
+            "w_blk1": rand(3, 3, cq, cq) * 0.3, "b_blk1": rand(cq) + 0.5,
+        }                      # positive biases: a pad-column leak would show
+        ref = self._xla_ref(x, e1, gate, ws)
+        got = fused_up_dense(x, e1, 1.0 + gate[:, 0, 0, :],
+                             ws["w_up"], ws["b_up"], ws["w_d2"], ws["b_d2"],
+                             ws["w_pair"], ws["b_pair"], ws["w_blk1"],
+                             ws["b_blk1"], tile_rows=8)
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)

@@ -66,6 +66,10 @@ def parse_args(argv=None):
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile every batch bucket before accepting "
                         "traffic (no request pays a first-call compile)")
+    p.add_argument("--no-overlap", action="store_true",
+                   help="disable the double-buffered dispatcher (dispatch "
+                        "batch k+1 before fetching batch k's grades — "
+                        "default on; see pipeline/serving.MicroBatcher)")
     return p.parse_args(argv)
 
 
@@ -115,7 +119,8 @@ def main(argv=None):
     server = GradingServer(grade_fn, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms,
                            pad_multiple=pad_multiple,
-                           grade_timeout_s=args.grade_timeout_s, meta=meta)
+                           grade_timeout_s=args.grade_timeout_s, meta=meta,
+                           overlap=not args.no_overlap)
     if args.warmup:
         print("warming batch buckets...", flush=True)
         print(f"warmed buckets {server.warmup()}", flush=True)

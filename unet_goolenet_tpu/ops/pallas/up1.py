@@ -381,7 +381,8 @@ def _up1_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wgy_ref,
 
 
 def _cbn_stats_kernel(x_ref, wcat_ref, bias_ref, e1_ref, stat_ref,
-                      xbuf, sems, *, th, wp, cs, dtype, make_cat):
+                      xbuf, sems, *, th, wp, cs, dtype, make_cat,
+                      post=None):
     """relu(conv3x3(x) + b) + running per-image (sum, max) over (H, W).
 
     stat_ref is revisited across the sequential row-tile grid (the TPU grid
@@ -417,6 +418,10 @@ def _cbn_stats_kernel(x_ref, wcat_ref, bias_ref, e1_ref, stat_ref,
     cat = make_cat(xbuf[slot])
     acc = jnp.dot(cat, wcat_ref[:], preferred_element_type=jnp.float32)
     y = jnp.maximum(acc + bias_ref[0][None, :], 0.0)
+    if post is not None:
+        # width-padded dense gate pass: zero the pad columns so they cannot
+        # pollute the running sum/max (relu(bias) otherwise leaks in)
+        y = post(y)
     e1_ref[0] = y.reshape(th, wp, cs).astype(dtype)
 
     tile_sum = jnp.sum(y, axis=0, keepdims=True)
@@ -433,13 +438,13 @@ def _cbn_stats_kernel(x_ref, wcat_ref, bias_ref, e1_ref, stat_ref,
         stat_ref[0, 1:2] = jnp.maximum(stat_ref[0, 1:2], tile_max)
 
 
-def _launch_cbn_stats(x, wcat, bias, th, make_cat):
+def _launch_cbn_stats(x, wcat, bias, th, make_cat, post=None):
     """pallas_call plumbing shared by the packed (up1) and dense (up2) gate
     passes: (N, H, Wp, Cs) input -> (e1 same shape, (N, 2, Cs) f32 sum/max)."""
     n, h, wp, cs = x.shape
     dtype = x.dtype
     kernel = functools.partial(_cbn_stats_kernel, th=th, wp=wp, cs=cs,
-                               dtype=dtype, make_cat=make_cat)
+                               dtype=dtype, make_cat=make_cat, post=post)
     return pl.pallas_call(
         kernel,
         grid=(n, h // th),

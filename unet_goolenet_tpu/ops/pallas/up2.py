@@ -87,11 +87,29 @@ def make_cat9_weights(w: jax.Array, dtype):
 def _lr(sf, wp, out_dtype):
     """The +-1 column rolls of a dense (R, wp, C) f32 tile with conv-padding
     edge zeroing (L[j] = S[j-1], col 0 zero; R[j] = S[j+1], col wp-1 zero).
-    f32 in (Mosaic rotate is 32-bit only), out_dtype out."""
+    f32 in (Mosaic rotate is 32-bit only), out_dtype out.
+
+    Width-padded tiles (wp > the real image width) need no extra edge logic
+    here: every stage keeps pad columns EXACTLY zero (the _rc_mask multiplies
+    below), so R at the last real column reads a zero pad column — the same
+    value conv zero-padding gives."""
     col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
     l = jnp.where(col > 0, pltpu.roll(sf, 1, 1), 0.0)
     r = jnp.where(col < wp - 1, pltpu.roll(sf, wp - 1, 1), 0.0)
     return l.astype(out_dtype), r.astype(out_dtype)
+
+
+def _rc_mask(n_rows, start, h, wp, w):
+    """(n_rows*wp, 1) f32 mask: row-validity ([0, h) after `start` offset,
+    up1._row_mask semantics) AND column-validity (col < w) for width-padded
+    tiles. Falls back to the row-only mask when the width is unpadded
+    (compile-time branch: zero cost for aligned geometries)."""
+    if w == wp:
+        return _row_mask(n_rows, start, h, wp)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (n_rows * wp, 1), 0)
+    gr = gi // wp + start
+    gc = jax.lax.rem(gi, wp)
+    return jnp.where((gr >= 0) & (gr < h) & (gc < w), 1.0, 0.0)
 
 
 def _cat9(s, l, r, n_out, src_off, wp, c):
@@ -114,7 +132,7 @@ def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
     x: (N, H, W, C); w: (3, 3, C, C) folded kernel; b: (C,).
     Returns (e1 (N, H, W, C), mean (N,1,1,C), max (N,1,1,C)).
     """
-    n, h, wp, c = x.shape
+    n, h, w_real, c = x.shape
     dtype = x.dtype
     th = tile_rows
     if th is None:
@@ -123,6 +141,13 @@ def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
         raise ValueError(
             f"fused_cbn_stats_dense: no valid row tile for h={h} "
             f"(tile_rows={tile_rows}); use the XLA path")
+
+    # sublane alignment: unaligned widths (up4's 28-wide skip) zero-pad to a
+    # multiple of 8; pad columns are re-zeroed after the relu (post mask) so
+    # the global sum/max stay exact, and e1 is sliced back.
+    wp = -(-w_real // 8) * 8
+    if wp != w_real:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - w_real), (0, 0)))
 
     wcat = make_cat9_weights(w, dtype)
     bias = b.astype(jnp.float32)[None]            # (1, C)
@@ -133,9 +158,16 @@ def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
         l, r = _lr(s.astype(jnp.float32), wp, s.dtype)
         return _cat9(s, l, r, th, 0, wp, c)
 
-    e1, stats = _up1._launch_cbn_stats(x, wcat, bias, th, make_cat)
+    post = None
+    if wp != w_real:
+        def post(y):
+            return y * _rc_mask(th, 0, th, wp, w_real)
 
-    mean = stats[:, 0] / (h * wp)
+    e1, stats = _up1._launch_cbn_stats(x, wcat, bias, th, make_cat, post=post)
+    if wp != w_real:
+        e1 = e1[:, :, :w_real, :]
+
+    mean = stats[:, 0] / (h * w_real)
     return e1, mean[:, None, None, :], stats[:, 1][:, None, None, :]
 
 
@@ -145,11 +177,16 @@ def fused_cbn_stats_dense(x: jax.Array, w: jax.Array, b: jax.Array,
 def _up2_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wpg_ref,
                 wblk1_ref, bias_ref, bpair_ref, b1_ref, out_ref, xbuf, e1buf,
                 sems,
-                *, th, h, wp, c, cq, dtype):
+                *, th, h, wp, w, c, cq, dtype):
     """One (image, row-tile) step: deconv -> d2 -> gate -> pair -> block1,
-    all VMEM-resident, dense output. wp = dense width, c = dense channels,
-    cq = block1 output channels (64 for up2 — packed by the wrapper's XLA
-    epilogue; >= 128 for up3/up4, already lane-filling)."""
+    all VMEM-resident, dense output. wp = (possibly sublane-padded) tile
+    width, w = the REAL image width (wp == w when the geometry is aligned;
+    up3/up4 widths 28/14 are not multiples of the 8-sublane tiling and
+    arrive zero-padded from the wrapper — Mosaic rejects any slice of an
+    unaligned-width memref with 'Slice shape along dimension 2 must be
+    aligned to tiling (8)', measured on-chip 2026-08-20), c = dense
+    channels, cq = block1 output channels (64 for up2 — packed by the
+    wrapper's XLA epilogue; >= 128 for up3/up4, already lane-filling)."""
     ni = pl.program_id(0)
     i = pl.program_id(1)
     n_im = pl.num_programs(0)
@@ -187,7 +224,9 @@ def _up2_kernel(x_ref, e1_ref, gate_ref, wd_ref, wup2_ref, wpg_ref,
     o0 = o0.reshape(rx, wp, c)                       # (.., 2, C) interleave
     o1 = o1.reshape(rx, wp, c)
     upf = jnp.stack([o0, o1], axis=1).reshape(2 * rx, wp, c)
-    m_full = _row_mask(2 * rx, a - 4, h, wp)
+    # row AND pad-column validity: pad columns must stay EXACTLY zero at
+    # every stage so the column rolls see conv-style zero padding (_lr note)
+    m_full = _rc_mask(2 * rx, a - 4, h, wp, w)
     upm = m_full.reshape(2 * rx, wp, 1)
     upf = upf + bias_ref[1][None, None, :] * upm
     up = upf.astype(dtype)
@@ -275,9 +314,20 @@ def fused_up_dense(x: jax.Array, e1: jax.Array, gate_p1: jax.Array,
 def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
                     w_blk1, b_blk1, *, tile_rows, packed_out):
     n, h2, wq2, c = x.shape
-    h, wp = 2 * h2, 2 * wq2
+    h, w = 2 * h2, 2 * wq2
     cq = w_pair.shape[-1]
     dtype = x.dtype
+
+    # sublane alignment (Mosaic: slices of an 8-unaligned second-minor dim
+    # reject — the round-3/4 up3/up4 `dma_start` blocker, root-caused
+    # 2026-08-20): zero-pad the width to a multiple of 16 (so the halved x
+    # width is a multiple of 8 too); the kernel's _rc_mask keeps pad columns
+    # exactly zero and the output is sliced back below.
+    wq2p = -(-wq2 // 8) * 8
+    if wq2p != wq2:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wq2p - wq2), (0, 0)))
+        e1 = jnp.pad(e1, ((0, 0), (0, 0), (0, 2 * (wq2p - wq2)), (0, 0)))
+    wp = 2 * wq2p
 
     if tile_rows is None:
         tile_rows = _up1.pick_tile(h, UP_TILES, min_tile=UP_MIN_TILE,
@@ -312,7 +362,7 @@ def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
     gate = gate_p1.astype(dtype)[:, None, :]          # (N, 1, C)
 
     kernel = functools.partial(
-        _up2_kernel, th=th, h=h, wp=wp, c=c, cq=cq, dtype=dtype)
+        _up2_kernel, th=th, h=h, wp=wp, w=w, c=c, cq=cq, dtype=dtype)
     y = pl.pallas_call(
         kernel,
         grid=(n, h // th),
@@ -349,6 +399,8 @@ def _fused_up_level(x, e1, gate_p1, w_up, b_up, w_d2, b_d2, w_pair, b_pair,
         ),
         interpret=_up1._INTERPRET,
     )(x, e1, gate, wd, wup2, wpg, wblk1, biases, bpair, b1)
+    if wp != w:
+        y = y[:, :, :w, :]
     if packed_out:
         # XLA pack epilogue (exact channels-minor reshape, ops/packed.pack):
         # the in-kernel repack is a Mosaic-unsupported lane-merging cast

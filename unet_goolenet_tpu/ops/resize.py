@@ -51,10 +51,18 @@ def resize_bilinear(
     if x.ndim == 4 and channel_first:
         a = _weight_mat(x.shape[2], oh, antialias)
         bm = _weight_mat(x.shape[3], ow, antialias)
-        xh = jnp.einsum("oh,nchw->ncow", a, x.astype(jnp.float32),
-                        precision=precision)
+        if x.dtype == jnp.uint8:
+            # quantized-uint8 input (wavelet_enhance out_uint8=True): the
+            # stored level k dequantizes with the SAME `/ 255.0` division the
+            # f32 path used, so values are BIT-exact while the input read is
+            # 4x smaller (RESULTS.md queue 19: preprocess 5.69 -> 4.94 ms at
+            # b128). Output stays f32 (there is no uint8 output semantics).
+            xf = x.astype(jnp.float32) / 255.0
+        else:
+            xf = x.astype(jnp.float32)
+        xh = jnp.einsum("oh,nchw->ncow", a, xf, precision=precision)
         out = jnp.einsum("pw,ncow->ncop", bm, xh, precision=precision)
-        return out.astype(x.dtype)
+        return out if x.dtype == jnp.uint8 else out.astype(x.dtype)
     if x.ndim == 4:
         shape = (x.shape[0], oh, ow, x.shape[3])
     elif x.ndim == 3:

@@ -50,19 +50,28 @@ def haar_dwt2(x: jax.Array) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.
     return cA, (cH, cV, cD)
 
 
-def _minmax_u8(x: jax.Array, quantize: bool) -> jax.Array:
+def _minmax_u8(x: jax.Array, quantize: bool,
+               as_uint8: bool = False) -> jax.Array:
     """Min-max normalise to [0, 1]; optionally round through uint8 levels the way the
-    reference does (`(x*255).astype(np.uint8)` then later `/255` in to_tensor)."""
+    reference does (`(x*255).astype(np.uint8)` then later `/255` in to_tensor).
+
+    as_uint8 (requires quantize) returns the integer level k itself as uint8
+    instead of k/255 f32 — 4x less HBM for the wavelet->resize boundary; a
+    downstream `astype(f32) / 255.0` reproduces the f32 value BIT-exactly
+    (same division, RESULTS.md queue 19 probe: delta 0.0)."""
     lo = jnp.min(x)
     rng = jnp.max(x) - lo
     y = jnp.where(rng > 0, (x - lo) / jnp.maximum(rng, 1e-30), jnp.zeros_like(x))
     if quantize:
-        y = jnp.floor(y * 255.0) / 255.0
+        k = jnp.floor(y * 255.0)
+        return k.astype(jnp.uint8) if as_uint8 else k / 255.0
+    assert not as_uint8, "as_uint8 requires quantize (values must be k/255)"
     return y
 
 
 def wavelet_enhance(
-    gray: jax.Array, *, quantize_uint8: bool = True, channel_first: bool = False
+    gray: jax.Array, *, quantize_uint8: bool = True,
+    channel_first: bool = False, out_uint8: bool = False
 ) -> jax.Array:
     """(H, W) grayscale [0, 255] -> (H, W, 3) pseudo-RGB in [0, 1]
     ((3, H, W) with channel_first=True — the MXU-friendly layout for a
@@ -76,6 +85,11 @@ def wavelet_enhance(
         INTER_LINEAR, i.e. bilinear *without* antialiasing (lines 63, 67).
       * each channel is min-max normalised and quantised through uint8 (lines 70-74);
         `quantize_uint8=False` gives the continuous variant for training throughput.
+      * out_uint8=True (requires quantize_uint8) emits the uint8 levels k
+        instead of k/255 f32 — the downstream resize dequantizes with the
+        identical `/255.0` division, so values are BIT-exact while the
+        wavelet->resize HBM boundary shrinks 4x (measured −0.75 ms of the
+        5.69 ms preprocess at b128, RESULTS.md queue 19).
     """
     gray = gray.astype(jnp.float32)
     h, w = gray.shape
@@ -83,9 +97,10 @@ def wavelet_enhance(
     high = jnp.sqrt(cH * cH + cV * cV + cD * cD)
     low_up = resize_bilinear(cA, (h, w), antialias=False)
     high_up = resize_bilinear(high, (h, w), antialias=False)
-    r = _minmax_u8(gray, quantize_uint8)
-    g = _minmax_u8(low_up, quantize_uint8)
-    b = _minmax_u8(high_up, quantize_uint8)
+    u8 = out_uint8 and quantize_uint8
+    r = _minmax_u8(gray, quantize_uint8, as_uint8=u8)
+    g = _minmax_u8(low_up, quantize_uint8, as_uint8=u8)
+    b = _minmax_u8(high_up, quantize_uint8, as_uint8=u8)
     return jnp.stack([r, g, b], axis=0 if channel_first else -1)
 
 

@@ -241,7 +241,7 @@ def _up2_head_t(y, skip, p2, s2):
 
 def unet_forward_packed_train(
     params: Dict[str, Any], batch_stats: Dict[str, Any], x: jax.Array,
-    *, remat: Tuple[str, ...] = (),
+    *, remat: Tuple[str, ...] = (), dense_up1: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Train-mode forward of UNetTaskAligWeight with packed 64-channel levels.
 
@@ -254,7 +254,15 @@ def unet_forward_packed_train(
     the backward then recomputes that level's forward instead of loading its
     saved intermediates from HBM (the big 224²/112² levels are HBM-bound in
     the backward, benchmarks/bwd_profile.py). Identical values/grads, only
-    the autodiff schedule changes."""
+    the autodiff schedule changes.
+
+    dense_up1=True runs the up1 level + outc DENSE (unpack after up2's
+    packed output; _up_alig_t at 64 channels): the packed layout pays 2x
+    logical FLOPs in BOTH conv directions, and the b16 backward attribution
+    (RESULTS.md queue 19) has the packed up1 backward at 32% of logical
+    ideal (9.42 ms) — a dense tail halves its FLOP bill if XLA's dense
+    64-channel backward schedules anywhere near the down-level 69-77%.
+    A/B knob, benchmarks/train_bench.py --dense-up1."""
     p, s = params, batch_stats
     t, ts = p["trunk"], s["trunk"]
     n, hh, ww, _ = x.shape
@@ -284,10 +292,20 @@ def unet_forward_packed_train(
 
     y_p, n_up2 = ckpt("up2", _up2_head_t)(y, feats[0], p["up2"], s["up2"])
 
-    y_p, n_up1 = ckpt("up1", _up_alig_p_t)(y_p, x1_p, p["up1"], s["up1"])
-    out_p = P.conv1x1_p(y_p, p["outc"]["conv"]["kernel"][0, 0],
-                        p["outc"]["conv"]["bias"], accum=y_p.dtype)
-    logits = P.unpack(out_p)
+    if dense_up1:
+        # dense tail: unpack is a layout-preserving reshape; the level runs
+        # logical-FLOP dense convs and outc is one (M, 64) @ (64, ncls) dot
+        yd = P.unpack(y_p)
+        x1d = P.unpack(x1_p)
+        yd, n_up1 = ckpt("up1", _up_alig_t)(yd, x1d, p["up1"], s["up1"])
+        k = p["outc"]["conv"]["kernel"][0, 0].astype(yd.dtype)
+        logits = (yd @ k
+                  + p["outc"]["conv"]["bias"].astype(yd.dtype))
+    else:
+        y_p, n_up1 = ckpt("up1", _up_alig_p_t)(y_p, x1_p, p["up1"], s["up1"])
+        out_p = P.conv1x1_p(y_p, p["outc"]["conv"]["kernel"][0, 0],
+                            p["outc"]["conv"]["bias"], accum=y_p.dtype)
+        logits = P.unpack(out_p)
 
     new_stats = {
         "trunk": new_trunk,

@@ -48,7 +48,12 @@ def preprocess_gray(
     transposed back. Same math per channel — parity in
     tests/test_pipeline.py."""
     enhanced = jax.vmap(partial(ops.wavelet_enhance, quantize_uint8=quantize_uint8,
-                                channel_first=mxu_layout))(gray)
+                                channel_first=mxu_layout,
+                                # uint8 wavelet->resize boundary: BIT-exact
+                                # (the resize dequantizes with the identical
+                                # /255 division) and 4x less HBM — measured
+                                # −0.75 ms at b128 (RESULTS.md queue 19)
+                                out_uint8=mxu_layout and quantize_uint8))(gray)
     if mxu_layout:
         out = ops.resize_bilinear(
             enhanced, out_hw, antialias=True, channel_first=True,

@@ -66,7 +66,7 @@ def make_seg_train_step(
     but the unravel's param slicing breaks XLA's backward fusion (bwd 12.92
     -> 16.05 ms at b8) — stays opt-in; the default tree step is faster."""
 
-    if forward == "engine-packed":
+    if forward in ("engine-packed", "engine-packed-dense-up1"):
         from unet_goolenet_tpu.pipeline.engine_train import (
             unet_forward_packed_train,
         )
@@ -75,12 +75,14 @@ def make_seg_train_step(
             raise ValueError(f"unknown remat level(s) {sorted(bad)}; "
                              f"choose from up1, up2, inc, all, first")
         level_remat = tuple(r for r in remat if r not in ("all", "first"))
+        dense_up1 = forward == "engine-packed-dense-up1"
 
         def fwd(p, batch_stats, imgs):
             # the engine's compute dtype is the input dtype; honour the
             # model's configured dtype (bf16 mixed precision) like flax does
             return unet_forward_packed_train(
-                p, batch_stats, imgs.astype(model.dtype), remat=level_remat)
+                p, batch_stats, imgs.astype(model.dtype), remat=level_remat,
+                dense_up1=dense_up1)
 
         if "all" in remat:
             fwd = jax.checkpoint(fwd)
