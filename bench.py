@@ -75,6 +75,10 @@ def measure_ours() -> float:
     up2_env = os.environ.get("BENCH_UP2")
     if up2_env in ("packed", "fused", "fused_dense"):
         fused_kw["dense_up2"] = up2_env
+    # BENCH_UP34=1 runs the dense branch's up3/up4 as the dense fused Pallas
+    # kernels (runnable since the sublane-alignment fix; queue-20 A/B)
+    if os.environ.get("BENCH_UP34") == "1":
+        fused_kw["dense_up34"] = True
     # BENCH_GLUE=0 turns OFF the MXU-form serving glue (NCHW-layout preprocess
     # resize, weight-matrix ROI crop, space-to-depth GoogLeNet stem) that is
     # default-on on TPU — the A/B for that default-on policy (queue 14).

@@ -156,7 +156,8 @@ class TestFusedUp1Tail:
         for kw in (dict(fused_up1=True),
                    dict(fused_up1=True, up2="packed"),
                    dict(fused_up1=True, up2="fused"),
-                   dict(fused_up1=True, up2="fused_dense")):
+                   dict(fused_up1=True, up2="fused_dense"),
+                   dict(fused_up1=True, fused_up34=True)):
             got = engine.unet_forward(variables, x, **kw)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=1e-4, atol=1e-5, err_msg=str(kw))

@@ -475,7 +475,8 @@ def unet_forward_packed(variables: Dict[str, Any], x: jax.Array,
 
 
 def unet_forward(variables: Dict[str, Any], x: jax.Array,
-                 *, fused_up1: bool = False, up2: str = "dense") -> jax.Array:
+                 *, fused_up1: bool = False, up2: str = "dense",
+                 fused_up34: bool = False) -> jax.Array:
     """Engine forward of UNetTaskAligWeight: variables from model.init / the
     checkpoint converter; x (N, H, W, 3) -> logits (N, H, W, n_classes).
 
@@ -507,8 +508,22 @@ def unet_forward(variables: Dict[str, Any], x: jax.Array,
         h = _stack(h, t[f"down{i}"]["nConvs"], ts[f"down{i}"]["nConvs"])
         feats.append(h)
     _, out0 = _transformer(feats[4], feats[4], p["task2"], s["task2"])
-    y = _up_alig(out0, feats[3], p["up4"], s["up4"])
-    y = _up_alig(y, feats[2], p["up3"], s["up3"])
+    up34_fused = False
+    if fused_up34 and x.shape[2] % 2 == 0:
+        from unet_goolenet_tpu.ops.pallas.up2 import up_level_supported
+        up34_fused = (up_level_supported(2 * out0.shape[1])
+                      and up_level_supported(4 * out0.shape[1]))
+    if up34_fused:
+        # dense fused decoder kernels in the dense/hybrid branch — runnable
+        # on the real Mosaic backend since the sublane-alignment fix
+        # (ops/pallas/up2.py; A/B knob BENCH_UP34, RESULTS.md queue 20)
+        y = _up_fused(out0, feats[3], p["up4"], s["up4"], x.dtype,
+                      packed_out=False)
+        y = _up_fused(y, feats[2], p["up3"], s["up3"], x.dtype,
+                      packed_out=False)
+    else:
+        y = _up_alig(out0, feats[3], p["up4"], s["up4"])
+        y = _up_alig(y, feats[2], p["up3"], s["up3"])
     tail = False
     if fused_up1 and x.shape[2] % 2 == 0:
         from unet_goolenet_tpu.ops.pallas.up1 import up1_supported

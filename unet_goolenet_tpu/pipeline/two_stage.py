@@ -122,7 +122,7 @@ class TwoStagePipeline:
                  fused_up1: bool = None, fused_up2: bool = None,
                  fused_up34: bool = None, fused_down1: bool = None,
                  dense_batch_min: int = None, dense_fused_up1: bool = None,
-                 dense_up2: str = "dense",
+                 dense_up2: str = "dense", dense_up34: bool = False,
                  mxu_preprocess: bool = None, mxu_roi: bool = None,
                  s2d_stem: bool = None, fast_resize: bool = False,
                  gnet_merge_1x1: bool = False):
@@ -177,9 +177,13 @@ class TwoStagePipeline:
             dense_fused_up1 = jax.default_backend() == "tpu"
         self.dense_fused_up1 = dense_fused_up1
         # where the dense branch switches to packed layout: "dense" keeps
-        # dense up2 (queue-9 default), "packed"/"fused" run up2 packed-XLA /
-        # Pallas ahead of the fused up1 tail (A/B knob, engine.unet_forward)
+        # dense up2 (queue-9 default), "packed"/"fused"/"fused_dense" run up2
+        # packed-XLA / Pallas ahead of the fused up1 tail (A/B knob,
+        # engine.unet_forward)
         self.dense_up2 = dense_up2
+        # dense fused Pallas up3/up4 in the dense branch (runnable since the
+        # sublane-alignment fix; A/B knob BENCH_UP34, RESULTS.md queue 20)
+        self.dense_up34 = dense_up34
         if mxu_preprocess is None:
             # NCHW-layout preprocess resize: same per-channel math (parity in
             # tests/test_pipeline.py), better lane use on TPU
@@ -236,7 +240,8 @@ class TwoStagePipeline:
             if dense:
                 return _engine.unet_forward(unet_vars, imgs,
                                             fused_up1=dense_fused_up1,
-                                            up2=dense_up2)
+                                            up2=dense_up2,
+                                            fused_up34=dense_up34)
             return unet_engine_fwd_packed(unet_vars, imgs)
 
         def _seg(unet_vars, imgs):
