@@ -60,4 +60,8 @@ step bwd-micro python benchmarks/bwd_profile.py --batch 16 --scan-len 10 \
 step bwd-up1-dense python benchmarks/bwd_profile.py --batch 16 --scan-len 10 \
   --only "up1 DENSE" --split-dw-dx
 
+# --- 4. cls curve extension (b32 beat b16: 717.9 vs 677.6) -----------------
+step cls-b64-bf16 python benchmarks/train_bench.py --mode cls --batch 64 --bf16
+step cls-b32-bf16-split python benchmarks/train_bench.py --mode cls --batch 32 --bf16 --split
+
 echo "=== QUEUE20 COMPLETE $(date -u) ==="
