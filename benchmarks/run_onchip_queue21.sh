@@ -34,6 +34,7 @@ step() {
   fi
 }
 
+step cls-b128-bf16 python benchmarks/train_bench.py --mode cls --batch 128 --bf16
 step headline-final python bench.py
 step baseline-sweep python benchmarks/configs.py
 step entry-check python __graft_entry__.py
